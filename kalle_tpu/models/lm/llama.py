@@ -1,0 +1,229 @@
+"""Llama-3.2 decoder backbone, TPU-first functional JAX.
+
+Design (deliberately not a torch translation):
+  * params are a plain pytree; the L transformer layers are STACKED on a
+    leading axis and traversed with `lax.scan` -> one compiled layer body,
+    fast XLA compile, natural pjit sharding on the stacked axis.
+  * static shapes everywhere; right-padded batches with an additive
+    causal+padding mask (equivalent to HF attention_mask semantics used at
+    ref model_sigmaVAE.py:74-81).
+  * decode path carries a static-size KV cache updated with
+    dynamic_update_slice — replaces the reference's cache-less O(T^2)
+    AR loop (ref model_sigmaVAE.py:123-124).
+
+Weight import from the HF torch checkpoint is in `convert.py`.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...core.config import LlamaConfig
+from ...ops.attention import make_causal_padding_mask, mha
+
+
+class KVCache(NamedTuple):
+    """Per-model KV cache: stacked over layers, static max_len."""
+
+    k: jnp.ndarray  # (L, b, max_len, n_kv, head_dim)
+    v: jnp.ndarray  # (L, b, max_len, n_kv, head_dim)
+    length: jnp.ndarray  # () int32 — number of valid positions
+
+    @staticmethod
+    def zeros(cfg: LlamaConfig, batch: int, max_len: int, dtype=None) -> "KVCache":
+        dtype = dtype or jnp.dtype(cfg.dtype)
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        return KVCache(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            length=jnp.zeros((), jnp.int32),
+        )
+
+
+# ---------------------------------------------------------------------------
+# RoPE (llama3 frequency scaling — matches HF rope_scaling for Llama-3.2)
+# ---------------------------------------------------------------------------
+
+def rope_inv_freq(cfg: LlamaConfig) -> jnp.ndarray:
+    dim = cfg.head_dim
+    inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+    rs = cfg.rope_scaling
+    if rs is None:
+        return inv_freq
+    low_wl = rs.original_max_position_embeddings / rs.low_freq_factor
+    high_wl = rs.original_max_position_embeddings / rs.high_freq_factor
+    wavelen = 2.0 * jnp.pi / inv_freq
+    smooth = (rs.original_max_position_embeddings / wavelen - rs.low_freq_factor) / (
+        rs.high_freq_factor - rs.low_freq_factor
+    )
+    smoothed = (1.0 - smooth) * inv_freq / rs.factor + smooth * inv_freq
+    out = jnp.where(wavelen > low_wl, inv_freq / rs.factor, inv_freq)
+    is_mid = jnp.logical_and(wavelen <= low_wl, wavelen >= high_wl)
+    return jnp.where(is_mid, smoothed, out)
+
+
+def rope_cos_sin(cfg: LlamaConfig, positions: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """positions: (t,) or (b, t) int -> cos/sin of shape positions.shape + (head_dim,)."""
+    inv_freq = rope_inv_freq(cfg)
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # (..., dim/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: (b, t, h, d); cos/sin: (t, d) or (b, t, d). HF rotate-half layout."""
+    if cos.ndim == 2:
+        cos = cos[None, :, None, :]
+        sin = sin[None, :, None, :]
+    else:
+        cos = cos[:, :, None, :]
+        sin = sin[:, :, None, :]
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return (x.astype(jnp.float32) * cos + rotated.astype(jnp.float32) * sin).astype(x.dtype)
+
+
+def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * scale
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: LlamaConfig, key: jax.Array) -> dict:
+    """Random init (normal/0.02) with layers stacked on axis 0."""
+    pdt = jnp.dtype(cfg.param_dtype)
+    h, ffn = cfg.hidden_size, cfg.intermediate_size
+    nq, nkv, hd, L = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, cfg.num_layers
+    ks = jax.random.split(key, 8)
+
+    def norm01(k, shape, fan_in):
+        return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(pdt)
+
+    return {
+        "embed": norm01(ks[0], (cfg.vocab_size, h), h),
+        "layers": {
+            "attn_norm": jnp.ones((L, h), pdt),
+            "wq": norm01(ks[1], (L, h, nq * hd), h),
+            "wk": norm01(ks[2], (L, h, nkv * hd), h),
+            "wv": norm01(ks[3], (L, h, nkv * hd), h),
+            "wo": norm01(ks[4], (L, nq * hd, h), nq * hd),
+            "mlp_norm": jnp.ones((L, h), pdt),
+            "wg": norm01(ks[5], (L, h, ffn), h),
+            "wu": norm01(ks[6], (L, h, ffn), h),
+            "wd": norm01(ks[7], (L, ffn, h), ffn),
+        },
+        "final_norm": jnp.ones((h,), pdt),
+    }
+
+
+def embed_tokens(params: dict, input_ids: jnp.ndarray, cfg: LlamaConfig) -> jnp.ndarray:
+    return params["embed"].astype(jnp.dtype(cfg.dtype))[input_ids]
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, cache_kv=None, cache_len=None):
+    """One transformer block. cache_kv: optional (k_cache, v_cache) with
+    static max_len; returns (x_out, (new_k_entry, new_v_entry))."""
+    dt = jnp.dtype(cfg.dtype)
+    b, t, h = x.shape
+    nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    attn_in = rms_norm(x, lp["attn_norm"].astype(dt), cfg.rms_norm_eps)
+    q = (attn_in @ lp["wq"].astype(dt)).reshape(b, t, nq, hd)
+    k = (attn_in @ lp["wk"].astype(dt)).reshape(b, t, nkv, hd)
+    v = (attn_in @ lp["wv"].astype(dt)).reshape(b, t, nkv, hd)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if cache_kv is not None:
+        k_cache, v_cache = cache_kv
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype),
+                                               (0, cache_len, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype),
+                                               (0, cache_len, 0, 0))
+        attn = mha(q, k_cache, v_cache, mask)
+        new_kv = (k_cache, v_cache)
+    else:
+        attn = mha(q, k, v, mask)
+        new_kv = (k, v)
+
+    x = x + (attn.reshape(b, t, nq * hd) @ lp["wo"].astype(dt))
+
+    mlp_in = rms_norm(x, lp["mlp_norm"].astype(dt), cfg.rms_norm_eps)
+    gate = jax.nn.silu(mlp_in @ lp["wg"].astype(dt))
+    up = mlp_in @ lp["wu"].astype(dt)
+    x = x + (gate * up) @ lp["wd"].astype(dt)
+    return x, new_kv
+
+
+def forward(
+    params: dict,
+    cfg: LlamaConfig,
+    inputs_embeds: jnp.ndarray,  # (b, t, h)
+    attention_mask: jnp.ndarray,  # (b, t) 1 = real
+) -> jnp.ndarray:
+    """Full-sequence forward -> final hidden states (b, t, h).
+    Equivalent of `base_model.model(inputs_embeds, attention_mask)[0]`
+    (ref: model_sigmaVAE.py:78-81)."""
+    dt = jnp.dtype(cfg.dtype)
+    x = inputs_embeds.astype(dt)
+    b, t, _ = x.shape
+    positions = jnp.arange(t)
+    cos, sin = rope_cos_sin(cfg, positions)
+    mask = make_causal_padding_mask(attention_mask, t)
+
+    def body(x, lp):
+        x, _ = _layer(cfg, x, lp, cos, sin, mask)
+        return x, None
+
+    if cfg.remat:
+        body = jax.checkpoint(body)
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    return rms_norm(x, params["final_norm"].astype(dt), cfg.rms_norm_eps)
+
+
+def forward_with_cache(
+    params: dict,
+    cfg: LlamaConfig,
+    inputs_embeds: jnp.ndarray,  # (b, t, h)
+    cache: KVCache,
+    attention_mask: Optional[jnp.ndarray] = None,  # (b, max_len) over cache
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Prefill/decode forward. Writes K/V at [cache.length, cache.length+t)
+    and attends over the whole static cache with position-validity masking."""
+    dt = jnp.dtype(cfg.dtype)
+    x = inputs_embeds.astype(dt)
+    b, t, _ = x.shape
+    max_len = cache.k.shape[2]
+
+    positions = cache.length + jnp.arange(t)
+    cos, sin = rope_cos_sin(cfg, positions)
+
+    k_pos = jnp.arange(max_len)[None, :]
+    valid = k_pos < (cache.length + t)  # (1, max_len)
+    if attention_mask is not None:
+        valid = jnp.logical_and(valid, attention_mask.astype(bool))
+    else:
+        valid = jnp.broadcast_to(valid, (b, max_len))
+    q_pos = positions[None, :, None]  # (1, t, 1)
+    causal = k_pos[None, :, :] <= q_pos  # (1, t, max_len) -- note shapes broadcast
+    mask = jnp.logical_and(causal, valid[:, None, :])[:, None, :, :]
+
+    def body(x, layer_in):
+        lp, k_c, v_c = layer_in
+        x, (k_c, v_c) = _layer(cfg, x, lp, cos, sin, mask, (k_c, v_c), cache.length)
+        return x, (k_c, v_c)
+
+    x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    x = rms_norm(x, params["final_norm"].astype(dt), cfg.rms_norm_eps)
+    return x, KVCache(k=new_k, v=new_v, length=cache.length + t)
