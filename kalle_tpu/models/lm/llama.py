@@ -198,15 +198,22 @@ def forward_with_cache(
     inputs_embeds: jnp.ndarray,  # (b, t, h)
     cache: KVCache,
     attention_mask: Optional[jnp.ndarray] = None,  # (b, max_len) over cache
+    positions: Optional[jnp.ndarray] = None,  # (b, t) RoPE positions
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Prefill/decode forward. Writes K/V at [cache.length, cache.length+t)
-    and attends over the whole static cache with position-validity masking."""
+    and attends over the whole static cache with position-validity masking.
+
+    `positions` overrides the default arange-from-cache.length RoPE
+    positions — used for batched decode with left-padded prompts, where
+    each row's local position differs from its cache slot."""
     dt = jnp.dtype(cfg.dtype)
     x = inputs_embeds.astype(dt)
     b, t, _ = x.shape
     max_len = cache.k.shape[2]
 
-    positions = cache.length + jnp.arange(t)
+    slots = cache.length + jnp.arange(t)
+    if positions is None:
+        positions = jnp.broadcast_to(slots[None, :], (b, t))
     cos, sin = rope_cos_sin(cfg, positions)
 
     k_pos = jnp.arange(max_len)[None, :]
@@ -215,8 +222,8 @@ def forward_with_cache(
         valid = jnp.logical_and(valid, attention_mask.astype(bool))
     else:
         valid = jnp.broadcast_to(valid, (b, max_len))
-    q_pos = positions[None, :, None]  # (1, t, 1)
-    causal = k_pos[None, :, :] <= q_pos  # (1, t, max_len) -- note shapes broadcast
+    q_slot = slots[None, :, None]  # (1, t, 1) — causality by cache slot
+    causal = k_pos[None, :, :] <= q_slot  # (1, t, max_len)
     mask = jnp.logical_and(causal, valid[:, None, :])[:, None, :, :]
 
     def body(x, layer_in):
