@@ -1,0 +1,72 @@
+"""Headline benchmark: synthesis RTF on the flagship model (Llama-3.2-1B-shape
+Llasa, sigma head, 64-d latents @ 7.5 Hz — the VibeVoice-codec operating
+point, ref BASELINE.md).
+
+RTF = wall_clock / audio_seconds_generated, KV-cached batched decode on one
+chip. The reference publishes no numbers (BASELINE.md); the north-star target
+is RTF < 0.1 per v5e chip, so vs_baseline = 0.1 / measured (>1 beats target).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+LATENT_HZ = 7.5  # sigma-VAE frame rate (ref twj_dataset_offline.py:266,284)
+BATCH = 8
+MAX_FRAMES = 128
+TEXT_LEN = 32
+TARGET_RTF = 0.1
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_cfg
+    from kalle_tpu.infer.generate import generate
+    from kalle_tpu.models.lm import llasa
+
+    cfg = _flagship_cfg()
+    params = llasa.init_params(cfg, jax.random.key(0))
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 128255, (BATCH, TEXT_LEN)), jnp.int32)
+    mask = jnp.ones((BATCH, TEXT_LEN), jnp.int32)
+
+    def run(key):
+        res = generate(params, cfg, ids, mask, key, max_frames=MAX_FRAMES)
+        # NOTE: on the axon remote backend block_until_ready returns
+        # immediately on the handle; a host fetch is the only honest fence.
+        np.asarray(res.samples)
+        return res
+
+    # compile + warmup
+    run(jax.random.key(1))
+
+    n_iters = 5
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        run(jax.random.key(2 + i))
+    dt = (time.perf_counter() - t0) / n_iters
+
+    # sigma head never early-stops (end-KL floor 1.21 > 0.5), so every row
+    # emits MAX_FRAMES frames; valid = MAX_FRAMES - 1 (discard-last)
+    audio_seconds = BATCH * (MAX_FRAMES - 1) / LATENT_HZ
+    rtf = dt / audio_seconds
+    print(json.dumps({
+        "metric": "synthesis_rtf_v5e_chip",
+        "value": round(rtf, 6),
+        "unit": "wall_s_per_audio_s (batch=8, KV-cached decode, 1B bf16)",
+        "vs_baseline": round(TARGET_RTF / rtf, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -93,6 +93,27 @@ def collate(
     }
 
 
+def pad_batch_rows(batch: Dict[str, np.ndarray], multiple: int,
+                   pad_token_id: int) -> Dict[str, np.ndarray]:
+    """Pad the batch dim to a multiple of `multiple` (the dp mesh size)
+    with loss-neutral rows: all masks zero, so masked means ignore them."""
+    b = batch["input_ids"].shape[0]
+    rem = (-b) % multiple
+    if rem == 0:
+        return batch
+    out = dict(batch)
+    for k, v in batch.items():
+        if not isinstance(v, np.ndarray):
+            continue
+        pad = np.zeros((rem,) + v.shape[1:], v.dtype)
+        if k == "input_ids":
+            pad[:] = pad_token_id
+        elif k == "distribute_labels":
+            pad[:] = 1  # keep ones-init convention
+        out[k] = np.concatenate([v, pad], axis=0)
+    return out
+
+
 class DynamicBatchGenerator:
     """Token-budget batching: the batch closes when
     max_item_len * (n+1) > max_token_length or n >= batch_size

@@ -1,0 +1,89 @@
+"""Device mesh + sharding rules.
+
+The reference's only parallelism is single-node DDP over NCCL
+(ref: train_offline.py:74-78,193-195, default_config.yaml:9). The TPU-native
+equivalent is a 2-D (dp, tp) mesh: data parallel replaces the DDP
+all-reduce with an XLA psum-on-ICI inserted by jit from sharding specs, and
+tensor parallel shards the Llama attention heads / MLP as an extension the
+reference never had (SURVEY.md §2.8). Optimizer states inherit param
+shardings (the ZeRO-2 intent of the reference's inactive deepspeed block,
+default_config.yaml:3-8, falls out for free along tp).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import LlamaConfig
+
+DP_AXIS = "dp"
+TP_AXIS = "tp"
+
+
+def make_mesh(dp: int = -1, tp: int = 1, devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp == -1:
+        dp = n // tp
+    assert dp * tp == n, f"dp({dp}) * tp({tp}) != devices({n})"
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, (DP_AXIS, TP_AXIS))
+
+
+def param_pspecs(llasa_params: dict) -> dict:
+    """PartitionSpecs for the Llasa param tree.
+
+    TP layout (Megatron-style, collectives ride ICI):
+      wq/wk/wv/wg/wu column-parallel (shard output dim = heads/ffn),
+      wo/wd row-parallel (shard input dim); embeddings sharded on vocab;
+      norms replicated. Layer-stacked arrays carry a leading L axis.
+    """
+
+    def lp(spec_without_l):
+        return P(None, *spec_without_l)
+
+    return {
+        "llama": {
+            # shard hidden (not vocab): the token gather then yields
+            # h-sharded activations instead of all-gathering the table
+            "embed": P(None, TP_AXIS),
+            "layers": {
+                "attn_norm": lp((None,)),
+                "wq": lp((None, TP_AXIS)),
+                "wk": lp((None, TP_AXIS)),
+                "wv": lp((None, TP_AXIS)),
+                "wo": lp((TP_AXIS, None)),
+                "mlp_norm": lp((None,)),
+                "wg": lp((None, TP_AXIS)),
+                "wu": lp((None, TP_AXIS)),
+                "wd": lp((TP_AXIS, None)),
+            },
+            "final_norm": P(None),
+        },
+        "audio_linear": {"w": P(None, TP_AXIS), "b": P(TP_AXIS)},
+        "distribution_linear": {
+            "w0": P(TP_AXIS, None), "b0": P(None),
+            "w2": P(None, None), "b2": P(None),
+        },
+    }
+
+
+def batch_pspec() -> P:
+    """Batches shard on dp; sequence/feature dims replicated."""
+    return P(DP_AXIS)
+
+
+def shard_params(params: dict, mesh: Mesh) -> dict:
+    specs = param_pspecs(params)
+    return jax.device_put(
+        params, jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                             is_leaf=lambda x: isinstance(x, P)))
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    sh = NamedSharding(mesh, batch_pspec())
+    return {k: (jax.device_put(v, sh) if hasattr(v, "shape") else v)
+            for k, v in batch.items()}

@@ -1,0 +1,115 @@
+"""Train-step tests: single-utterance overfit (the reference's acceptance
+gate, ref configs/twj_sigmaVAE-overfit.yaml + SURVEY.md §4.1) and
+dp/tp-sharded equivalence on the 8-device virtual CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kalle_tpu.core.config import LlamaConfig, LlasaConfig, TrainConfig
+from kalle_tpu.data.collate import Item, collate
+from kalle_tpu.models.lm import llasa
+from kalle_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+from kalle_tpu.train.optim import make_optimizer
+from kalle_tpu.train.step import make_train_state, train_step
+
+
+def _tiny_batch(b=1, latent_dim=8, seed=0):
+    rng = np.random.default_rng(seed)
+    items = []
+    for i in range(b):
+        ids = rng.integers(0, 300, (6,)).astype(np.int32)
+        lat = rng.normal(size=(10, latent_dim)).astype(np.float32)
+        items.append(Item(input_ids=ids, audio_latents=lat,
+                          audio_distribution=lat.copy()))
+    batch = collate(items, pad_token_id=0)
+    return {k: jnp.asarray(v) for k, v in batch.items()
+            if isinstance(v, np.ndarray)}
+
+
+def test_overfit_single_utterance():
+    cfg = LlasaConfig(llama=LlamaConfig.tiny(), latent_dim=8,
+                      audio_proj_dim=64, head_variant="sigma")
+    tcfg = TrainConfig(lr=3e-3, warmup_steps=5, total_steps=4000,
+                       end_loss_weight=0.002)
+    params = llasa.init_params(cfg, jax.random.key(0))
+    tx = make_optimizer(tcfg)
+    state = make_train_state(params, tx)
+    batch = _tiny_batch()
+    rng = jax.random.key(42)
+
+    first = None
+    for i in range(60):
+        state, metrics = train_step(state, cfg, tcfg, tx, batch, rng)
+        if first is None:
+            first = float(metrics["audio_loss"])
+    last = float(metrics["audio_loss"])
+    # sigma-noise floor keeps loss > 0; memorization should cut it sharply
+    assert last < 0.5 * first, (first, last)
+    assert np.isfinite(last)
+
+
+def test_dp_tp_sharded_step_matches_single_device():
+    cfg = LlasaConfig(llama=LlamaConfig.tiny(), latent_dim=8,
+                      audio_proj_dim=64, head_variant="melvae")
+    tcfg = TrainConfig(lr=1e-3, warmup_steps=2, total_steps=100)
+    params = llasa.init_params(cfg, jax.random.key(1))
+    tx = make_optimizer(tcfg)
+    batch = _tiny_batch(b=8, seed=3)
+    # melvae needs 2d labels
+    batch["distribute_labels"] = jnp.concatenate(
+        [batch["distribute_labels"], jnp.zeros_like(batch["distribute_labels"])], -1)
+    rng = jax.random.key(0)
+
+    state_1 = make_train_state(jax.tree.map(jnp.copy, params), tx)
+    state_1, m1 = train_step(state_1, cfg, tcfg, tx, batch, rng)
+
+    mesh = make_mesh(dp=4, tp=2)
+    with jax.sharding.set_mesh(mesh):
+        sp = shard_params(params, mesh)
+        sb = shard_batch(batch, mesh)
+        state_n = make_train_state(sp, tx)
+        state_n, mn = train_step(state_n, cfg, tcfg, tx, sb, rng)
+
+    np.testing.assert_allclose(float(m1["total_loss"]), float(mn["total_loss"]),
+                               rtol=1e-5)
+    # updated params must match across the mesh
+    l1 = jax.tree.leaves(state_1.params)
+    ln = jax.tree.leaves(jax.device_get(state_n.params))
+    for a, b in zip(l1, ln):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_grad_accumulation_equivalence():
+    """MultiSteps(2) on two half-batches == one step on the full batch."""
+    # melvae head: deterministic forward (no sigma input-noise), so the
+    # full batch and the two micro-batches see identical computations
+    cfg = LlasaConfig(llama=LlamaConfig.tiny(), latent_dim=8,
+                      audio_proj_dim=64, head_variant="melvae")
+    params = llasa.init_params(cfg, jax.random.key(2))
+    batch = _tiny_batch(b=4, seed=5)
+    batch["distribute_labels"] = jnp.concatenate(
+        [batch["distribute_labels"], jnp.zeros_like(batch["distribute_labels"])], -1)
+    rng = jax.random.key(9)
+
+    tc_full = TrainConfig(lr=1e-3, warmup_steps=1, total_steps=100,
+                          gradient_accumulation_steps=1)
+    tx_f = make_optimizer(tc_full)
+    st_f = make_train_state(jax.tree.map(jnp.copy, params), tx_f)
+    # fold_in(rng, 0) is the per-step rng; reuse the same for both micro-steps
+    st_f, _ = train_step(st_f, cfg, tc_full, tx_f, batch, rng)
+
+    tc_acc = TrainConfig(lr=1e-3, warmup_steps=1, total_steps=100,
+                         gradient_accumulation_steps=2)
+    tx_a = make_optimizer(tc_acc)
+    st_a = make_train_state(jax.tree.map(jnp.copy, params), tx_a)
+    half1 = {k: v[:2] for k, v in batch.items()}
+    half2 = {k: v[2:] for k, v in batch.items()}
+    st_a, _ = train_step(st_a, cfg, tc_acc, tx_a, half1, rng)
+    # keep the same step_rng for the second micro-batch: reset step
+    st_a = st_a._replace(step=jnp.zeros((), jnp.int32))
+    st_a, _ = train_step(st_a, cfg, tc_acc, tx_a, half2, rng)
+
+    for a, b in zip(jax.tree.leaves(st_f.params), jax.tree.leaves(st_a.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
