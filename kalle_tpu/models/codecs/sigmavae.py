@@ -1,0 +1,210 @@
+"""SigmaVAE acoustic codec — codec C (VibeVoice-compatible operating point).
+
+The reference imports the external VibeVoice-1.5B acoustic tokenizer via a
+sys.path hack (ref train_offline.py:32-37,184-190; infer_vibevoice.py:268-288)
+— the package is NOT in the snapshot, so this is an original TPU-native
+design at the same operating point:
+
+  * 24 kHz mono, 64-dim continuous latents at 7.5 Hz (3200x downsampling:
+    strides 4*4*5*5*8; latent shape (1, 76, 64) for ~10 s clips, ref
+    twj_dataset_offline.py:266,284)
+  * sigma-VAE: the encoder emits MEANS only; the variance is fixed
+    globally (sigma = 0.5, ref model_sigmaVAE.py:150-151) and noising
+    happens in the consumer (`sample`), not the codec.
+  * decode() accepts (B, T, 64) or (B, 64, T) — the reference's own call
+    sites pass both (infer_vibevoice.py:342 vs :363) and the comment
+    `latents.shape[1] == self.config.vae_dim` shows the original
+    auto-detects orientation. Output (B, 1, T*3200), matching
+    `generator.decode` (SURVEY.md §2.2).
+
+Architecture (TPU-first, not a translation): stages of strided causal
+convs with ConvNeXt-style residual blocks — depthwise causal conv (k=7)
+feeding pointwise GEGLU MLPs, so the FLOPs live in MXU matmuls; RMS-norm
+for stability; mirror decoder with causal transposed convs. A weight
+importer for real VibeVoice checkpoints can be added once the package's
+naming is available; interface parity is what call sites require.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.conv import conv1d, conv_transpose1d
+
+
+@dataclasses.dataclass(frozen=True)
+class SigmaVAEConfig:
+    latent_dim: int = 64
+    sample_rate: int = 24000
+    strides: Tuple[int, ...] = (4, 4, 5, 5, 8)   # product = 3200 -> 7.5 Hz
+    channels: Tuple[int, ...] = (32, 64, 128, 256, 512)
+    blocks_per_stage: int = 2
+    mlp_ratio: int = 2
+    kernel: int = 7
+    sigma: float = 0.5
+
+    @property
+    def hop(self) -> int:
+        return int(np.prod(self.strides))
+
+    @property
+    def frame_rate(self) -> float:
+        return self.sample_rate / self.hop
+
+    @staticmethod
+    def tiny() -> "SigmaVAEConfig":
+        return SigmaVAEConfig(latent_dim=8, strides=(2, 4),
+                              channels=(4, 8), blocks_per_stage=1)
+
+
+def _rms_norm(x, scale, eps=1e-6):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * scale
+
+
+def _conv_init(key, k, cin, cout, groups=1):
+    kw, kb = jax.random.split(key)
+    fan_in = (cin // groups) * k
+    bound = 1.0 / math.sqrt(fan_in)
+    return {"w": jax.random.uniform(kw, (k, cin // groups, cout), jnp.float32,
+                                    -bound, bound),
+            "b": jax.random.uniform(kb, (cout,), jnp.float32, -bound, bound)}
+
+
+def _block_init(key, ch, cfg):
+    k1, k2, k3 = jax.random.split(key, 3)
+    hid = cfg.mlp_ratio * ch
+    return {
+        "norm": jnp.ones((ch,)),
+        "dw": _conv_init(k1, cfg.kernel, ch, ch, groups=ch),
+        "up": _conv_init(k2, 1, ch, 2 * hid),   # GEGLU: value + gate
+        "down": _conv_init(k3, 1, hid, ch),
+    }
+
+
+def init_params(cfg: SigmaVAEConfig, key) -> dict:
+    keys = iter(jax.random.split(key, 1024))
+    nk = lambda: next(keys)
+    chs = cfg.channels
+
+    enc: Dict[str, Any] = {"pre": _conv_init(nk(), cfg.kernel, 1, chs[0]),
+                           "stages": [],
+                           "head": _conv_init(nk(), 1, chs[-1], cfg.latent_dim)}
+    for i, s in enumerate(cfg.strides):
+        cin = chs[i]
+        cout = chs[min(i + 1, len(chs) - 1)] if i + 1 < len(chs) else chs[-1]
+        cout = chs[i + 1] if i + 1 < len(chs) else chs[-1]
+        enc["stages"].append({
+            "down": _conv_init(nk(), 2 * s, cin, cout),
+            "blocks": [_block_init(nk(), cout, cfg)
+                       for _ in range(cfg.blocks_per_stage)],
+        })
+
+    dec: Dict[str, Any] = {"pre": _conv_init(nk(), 1, cfg.latent_dim, chs[-1]),
+                           "stages": [],
+                           "post_norm": jnp.ones((chs[0],)),
+                           "post": _conv_init(nk(), cfg.kernel, chs[0], 1)}
+    rev = list(range(len(cfg.strides)))[::-1]
+    for i in rev:
+        cin = chs[i + 1] if i + 1 < len(chs) else chs[-1]
+        cout = chs[i]
+        s = cfg.strides[i]
+        dec["stages"].append({
+            "blocks": [_block_init(nk(), cin, cfg)
+                       for _ in range(cfg.blocks_per_stage)],
+            "up": _conv_init(nk(), 2 * s, cin, cout),
+        })
+    return {"encoder": enc, "decoder": dec}
+
+
+def _causal_dw(x, p, k):
+    ch = x.shape[-1]
+    x = jnp.pad(x, ((0, 0), (k - 1, 0), (0, 0)))
+    return conv1d(x, p["w"], p["b"], groups=ch)
+
+
+def _block(x, p, cfg):
+    h = _rms_norm(x, p["norm"])
+    h = _causal_dw(h, p["dw"], cfg.kernel)
+    h = conv1d(h, p["up"]["w"], p["up"]["b"])
+    v, g = jnp.split(h, 2, axis=-1)
+    h = v * jax.nn.gelu(g, approximate=True)
+    h = conv1d(h, p["down"]["w"], p["down"]["b"])
+    return x + h
+
+
+def _encode_nwc(params, cfg, x):
+    p = params["encoder"]
+    x = jnp.pad(x, ((0, 0), (cfg.kernel - 1, 0), (0, 0)))
+    x = conv1d(x, p["pre"]["w"], p["pre"]["b"])
+    for i, (st, s) in enumerate(zip(p["stages"], cfg.strides)):
+        # causal strided downsample: left-pad so frame t sees only the past
+        x = jnp.pad(x, ((0, 0), (2 * s - s, 0), (0, 0)))
+        x = conv1d(x, st["down"]["w"], st["down"]["b"], stride=s)
+        for b in st["blocks"]:
+            x = _block(x, b, cfg)
+    return conv1d(x, p["head"]["w"], p["head"]["b"])
+
+
+def _decode_nwc(params, cfg, z):
+    p = params["decoder"]
+    x = conv1d(z, p["pre"]["w"], p["pre"]["b"])
+    rev_strides = list(cfg.strides)[::-1]
+    for st, s in zip(p["stages"], rev_strides):
+        for b in st["blocks"]:
+            x = _block(x, b, cfg)
+        # causal transposed conv: trim the trailing lookahead
+        y = conv_transpose1d(x, st["up"]["w"], st["up"]["b"], stride=s,
+                             padding=0)
+        x = y[:, : x.shape[1] * s, :]
+    x = _rms_norm(x, p["post_norm"])
+    x = jnp.pad(x, ((0, 0), (cfg.kernel - 1, 0), (0, 0)))
+    x = conv1d(x, p["post"]["w"], p["post"]["b"])
+    return jnp.tanh(x)
+
+
+def _orient_btd(latents: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Accept (B, T, d) or (B, d, T); return (B, T, d). Mirrors the original
+    tokenizer's `latents.shape[1] == vae_dim` check. Ambiguous squares
+    (T == d) are treated as (B, d, T), matching the copysyn call site."""
+    if latents.shape[1] == d:
+        return jnp.transpose(latents, (0, 2, 1))
+    return latents
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def encode(params, cfg: SigmaVAEConfig, wav: jnp.ndarray) -> jnp.ndarray:
+    """wav (B, 1, T) [or (B, T)] -> latent means (B, T/hop, d)."""
+    if wav.ndim == 2:
+        wav = wav[:, None, :]
+    x = jnp.transpose(wav, (0, 2, 1))
+    return _encode_nwc(params, cfg, x)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def decode(params, cfg: SigmaVAEConfig, latents: jnp.ndarray) -> jnp.ndarray:
+    """latents (B, T, d) or (B, d, T) -> wav (B, 1, T*hop)."""
+    z = _orient_btd(latents, cfg.latent_dim)
+    y = _decode_nwc(params, cfg, z)
+    return jnp.transpose(y, (0, 2, 1))
+
+
+def sample(rng: jax.Array, mean: jnp.ndarray, sigma: float = 0.5,
+           dist_type: str = "fix") -> jnp.ndarray:
+    """Module-level sample() parity (ref model_sigmaVAE.py:187-213)."""
+    if dist_type == "fix":
+        return mean + sigma * jax.random.normal(rng, mean.shape, mean.dtype)
+    if dist_type == "gaussian":
+        k1, k2 = jax.random.split(rng)
+        b = mean.shape[0]
+        std = jax.random.normal(k1, (b,), mean.dtype) * (sigma / 0.8)
+        std = std.reshape((b,) + (1,) * (mean.ndim - 1))
+        return mean + std * jax.random.normal(k2, mean.shape, mean.dtype)
+    return mean
