@@ -131,9 +131,12 @@ def embed_tokens(params: dict, input_ids: jnp.ndarray, cfg: LlamaConfig) -> jnp.
 # Forward
 # ---------------------------------------------------------------------------
 
-def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, cache_kv=None, cache_len=None):
+def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, cache_kv=None,
+           cache_len=None, flash_pad_mask=None):
     """One transformer block. cache_kv: optional (k_cache, v_cache) with
-    static max_len; returns (x_out, (new_k_entry, new_v_entry))."""
+    static max_len; returns (x_out, (new_k_entry, new_v_entry)).
+    flash_pad_mask: when set (b, t), attention runs through the Pallas
+    flash kernel instead of the XLA path (forward-only)."""
     dt = jnp.dtype(cfg.dtype)
     b, t, h = x.shape
     nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -144,6 +147,17 @@ def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, cache_kv=None, cache_len=Non
     v = (attn_in @ lp["wv"].astype(dt)).reshape(b, t, nkv, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
+
+    if flash_pad_mask is not None and cache_kv is None:
+        from ...ops.pallas.flash_attention import flash_attention
+
+        attn = flash_attention(q, k, v, flash_pad_mask)
+        x = x + (attn.reshape(b, t, nq * hd) @ lp["wo"].astype(dt))
+        mlp_in = rms_norm(x, lp["mlp_norm"].astype(dt), cfg.rms_norm_eps)
+        gate = jax.nn.silu(mlp_in @ lp["wg"].astype(dt))
+        up = mlp_in @ lp["wu"].astype(dt)
+        x = x + (gate * up) @ lp["wd"].astype(dt)
+        return x, (k, v)
 
     if cache_kv is not None:
         k_cache, v_cache = cache_kv
@@ -171,19 +185,26 @@ def forward(
     cfg: LlamaConfig,
     inputs_embeds: jnp.ndarray,  # (b, t, h)
     attention_mask: jnp.ndarray,  # (b, t) 1 = real
+    use_flash: bool = False,
 ) -> jnp.ndarray:
     """Full-sequence forward -> final hidden states (b, t, h).
     Equivalent of `base_model.model(inputs_embeds, attention_mask)[0]`
-    (ref: model_sigmaVAE.py:78-81)."""
+    (ref: model_sigmaVAE.py:78-81). use_flash routes attention through the
+    Pallas kernel (forward-only; t must be a multiple of 128)."""
     dt = jnp.dtype(cfg.dtype)
     x = inputs_embeds.astype(dt)
     b, t, _ = x.shape
     positions = jnp.arange(t)
     cos, sin = rope_cos_sin(cfg, positions)
-    mask = make_causal_padding_mask(attention_mask, t)
+    # the Pallas kernel is TPU-only (CPU tests exercise it in interpret mode
+    # directly; inside scan the CPU backend cannot lower it)
+    flash_ok = use_flash and t % 128 == 0 and jax.default_backend() != "cpu"
+    flash_pad = attention_mask if flash_ok else None
+    mask = None if flash_pad is not None else make_causal_padding_mask(
+        attention_mask, t)
 
     def body(x, lp):
-        x, _ = _layer(cfg, x, lp, cos, sin, mask)
+        x, _ = _layer(cfg, x, lp, cos, sin, mask, flash_pad_mask=flash_pad)
         return x, None
 
     if cfg.remat:
