@@ -187,10 +187,17 @@ def load_experiment_config(path_or_dict: Any) -> ExperimentConfig:
     head_variant = str(_get(m, "head_variant", _get(raw, "head_variant", "sigma")))
 
     llama_overrides = _get(m, "llama", {})
-    llama = LlamaConfig(**{**dataclasses.asdict(LlamaConfig()), **{
-        k: v for k, v in llama_overrides.items()
-        if k in {f.name for f in dataclasses.fields(LlamaConfig)} and k != "rope_scaling"
-    }}) if llama_overrides else LlamaConfig()
+    if llama_overrides:
+        valid = {f.name for f in dataclasses.fields(LlamaConfig)}
+        kwargs = {k: v for k, v in llama_overrides.items()
+                  if k in valid and k != "rope_scaling"}
+        if isinstance(llama_overrides.get("rope_scaling"), dict):
+            kwargs["rope_scaling"] = RopeScaling(**llama_overrides["rope_scaling"])
+        elif llama_overrides.get("rope_scaling") is None and "rope_scaling" in llama_overrides:
+            kwargs["rope_scaling"] = None
+        llama = dataclasses.replace(LlamaConfig(), **kwargs)
+    else:
+        llama = LlamaConfig()
 
     model = LlasaConfig(
         llama=llama,

@@ -77,8 +77,10 @@ def mel_filterbank(
 
 
 @functools.lru_cache(maxsize=None)
-def _dft_bases(n_fft: int, win_length: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Windowed real-DFT bases: (win, n_freqs) cos / -sin, window folded in."""
+def _dft_bases_np(n_fft: int, win_length: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Windowed real-DFT bases: (win, n_freqs) cos / -sin, window folded in.
+    Cached as NUMPY (never jnp: a jnp constant created inside a jit trace is
+    a tracer and must not be cached across traces)."""
     n_freqs = n_fft // 2 + 1
     window = hann_window(win_length)
     # window centered in the n_fft frame (torch pads window to n_fft)
@@ -90,6 +92,11 @@ def _dft_bases(n_fft: int, win_length: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     w[off:off + win_length] = window
     cos_b = (np.cos(ang) * w[:, None]).astype(np.float32)
     sin_b = (-np.sin(ang) * w[:, None]).astype(np.float32)
+    return cos_b, sin_b
+
+
+def _dft_bases(n_fft: int, win_length: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    cos_b, sin_b = _dft_bases_np(n_fft, win_length)
     return jnp.asarray(cos_b), jnp.asarray(sin_b)
 
 
