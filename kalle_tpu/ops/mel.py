@@ -36,7 +36,7 @@ def hz_to_mel_slaney(f):
     min_log_mel = (min_log_hz - f_min) / f_sp
     logstep = math.log(6.4) / 27.0
     return np.where(f >= min_log_hz,
-                    min_log_mel + np.log(f / min_log_hz) / logstep, mels)
+                    min_log_mel + np.log(np.maximum(f, 1e-10) / min_log_hz) / logstep, mels)
 
 
 def mel_to_hz_slaney(m):

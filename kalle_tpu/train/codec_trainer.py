@@ -1,0 +1,125 @@
+"""VAE-GAN codec training on TPU: alternating generator/discriminator steps.
+
+Reference: AutoencoderTrainingWrapper (stable_audio_tools/training/
+autoencoders.py:19 — MRSTFT + L1 + KL + adversarial + feature matching) and
+the mel-VAE's BigVGAN-style recipe. Generator loss:
+    w_mrstft * MRSTFT + w_l1 * L1 + w_kl * KL(q||N(0,1))
+    + w_adv * LSGAN + w_fm * feature-matching
+Both steps are single jitted functions; dp sharding comes from jit like the
+LM train step.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.codecs import discriminators as disc
+from ..models.codecs import melvae, sigmavae
+from .codec_losses import (
+    discriminator_adv_loss,
+    feature_matching_loss,
+    generator_adv_loss,
+    l1_time_loss,
+    multi_resolution_stft_loss,
+    vae_kl_loss,
+)
+
+
+class CodecTrainState(NamedTuple):
+    gen_params: dict
+    disc_params: dict
+    gen_opt: optax.OptState
+    disc_opt: optax.OptState
+    step: jnp.ndarray
+
+
+class LossWeights(NamedTuple):
+    mrstft: float = 1.0
+    l1: float = 0.1
+    kl: float = 1e-4
+    adv: float = 1.0
+    fm: float = 2.0
+
+
+def make_state(gen_params, disc_params, gen_tx, disc_tx) -> CodecTrainState:
+    return CodecTrainState(gen_params, disc_params, gen_tx.init(gen_params),
+                           disc_tx.init(disc_params),
+                           jnp.zeros((), jnp.int32))
+
+
+def _reconstruct(kind: str, cfg, params, wav, rng):
+    """-> (wav_hat, kl_loss). wav (B, 1, T)."""
+    if kind == "melvae":
+        wav_hat, (_, logs_q) = melvae.forward(params, cfg, wav, rng)
+        # KL uses q's mean/logs: re-extract the stack (cheap encoder reuse
+        # is fused by XLA since forward already computed it under jit CSE)
+        stack = melvae.extract_latents(params, cfg, wav)
+        d = cfg.latent_dim
+        kl = vae_kl_loss(jnp.transpose(stack[:, :d], (0, 2, 1)),
+                         jnp.transpose(stack[:, d:], (0, 2, 1)))
+        return wav_hat, kl
+    if kind == "sigma":
+        z = sigmavae.encode(params, cfg, wav)
+        z_noised = z + cfg.sigma * jax.random.normal(rng, z.shape, z.dtype)
+        wav_hat = sigmavae.decode(params, cfg, z_noised)
+        # sigma-VAE regularizer: E||mean||^2 (fixed variance)
+        kl = jnp.mean(z * z)
+        return wav_hat, kl
+    raise ValueError(kind)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "cfg", "dcfg", "gen_tx",
+                                             "weights"))
+def generator_step(state: CodecTrainState, kind: str, cfg, dcfg, gen_tx,
+                   weights: LossWeights, wav: jnp.ndarray, rng: jax.Array
+                   ) -> Tuple[CodecTrainState, Dict[str, jnp.ndarray]]:
+    rng = jax.random.fold_in(rng, state.step)
+
+    def loss_fn(gp):
+        wav_hat, kl = _reconstruct(kind, cfg, gp, wav, rng)
+        T = min(wav.shape[-1], wav_hat.shape[-1])
+        x, y = wav_hat[..., :T], wav[..., :T]
+        mr = multi_resolution_stft_loss(x[:, 0], y[:, 0])
+        l1 = l1_time_loss(x, y)
+        fake_logits, fake_feats = disc.forward(state.disc_params, dcfg, x)
+        _, real_feats = disc.forward(state.disc_params, dcfg, y)
+        adv = generator_adv_loss(fake_logits)
+        fm = feature_matching_loss(real_feats, fake_feats)
+        total = (weights.mrstft * mr + weights.l1 * l1 + weights.kl * kl
+                 + weights.adv * adv + weights.fm * fm)
+        return total, {"mrstft": mr, "l1": l1, "kl": kl, "adv_g": adv,
+                       "fm": fm, "gen_total": total}
+
+    (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.gen_params)
+    updates, gen_opt = gen_tx.update(grads, state.gen_opt, state.gen_params)
+    gen_params = optax.apply_updates(state.gen_params, updates)
+    return state._replace(gen_params=gen_params, gen_opt=gen_opt,
+                          step=state.step + 1), metrics
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "cfg", "dcfg", "disc_tx"))
+def discriminator_step(state: CodecTrainState, kind: str, cfg, dcfg, disc_tx,
+                       wav: jnp.ndarray, rng: jax.Array
+                       ) -> Tuple[CodecTrainState, Dict[str, jnp.ndarray]]:
+    rng = jax.random.fold_in(rng, state.step)
+    wav_hat, _ = _reconstruct(kind, cfg, state.gen_params, wav, rng)
+    T = min(wav.shape[-1], wav_hat.shape[-1])
+    x = jax.lax.stop_gradient(wav_hat[..., :T])
+    y = wav[..., :T]
+
+    def loss_fn(dp):
+        real_logits, _ = disc.forward(dp, dcfg, y)
+        fake_logits, _ = disc.forward(dp, dcfg, x)
+        return discriminator_adv_loss(real_logits, fake_logits)
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.disc_params)
+    updates, disc_opt = disc_tx.update(grads, state.disc_opt,
+                                       state.disc_params)
+    disc_params = optax.apply_updates(state.disc_params, updates)
+    return state._replace(disc_params=disc_params, disc_opt=disc_opt), \
+        {"adv_d": loss}

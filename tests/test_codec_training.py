@@ -1,0 +1,64 @@
+"""Codec VAE-GAN training: both steps run, losses finite and trending."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from kalle_tpu.models.codecs import discriminators as disc
+from kalle_tpu.models.codecs.sigmavae import SigmaVAEConfig, init_params
+from kalle_tpu.train.codec_losses import (
+    multi_resolution_stft_loss,
+    vae_kl_loss,
+)
+from kalle_tpu.train.codec_trainer import (
+    LossWeights,
+    discriminator_step,
+    generator_step,
+    make_state,
+)
+
+
+def test_mrstft_loss_properties():
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.normal(size=(2, 4000)), jnp.float32)
+    assert float(multi_resolution_stft_loss(y, y,
+                                            resolutions=((512, 128, 512),))) < 1e-4
+    x = jnp.asarray(rng.normal(size=(2, 4000)), jnp.float32)
+    assert float(multi_resolution_stft_loss(x, y,
+                                            resolutions=((512, 128, 512),))) > 0.1
+
+
+def test_vae_kl_zero_at_standard_normal():
+    mean = jnp.zeros((2, 5, 4))
+    logs = jnp.zeros((2, 5, 4))
+    assert abs(float(vae_kl_loss(mean, logs))) < 1e-6
+    assert float(vae_kl_loss(mean + 2.0, logs)) > 1.0
+
+
+def test_gan_training_steps_run_and_descend():
+    cfg = SigmaVAEConfig.tiny()
+    dcfg = disc.DiscriminatorConfig.tiny()
+    gen_params = init_params(cfg, jax.random.key(0))
+    disc_params = disc.init_params(dcfg, jax.random.key(1))
+    gen_tx = optax.adam(1e-3)
+    disc_tx = optax.adam(1e-3)
+    state = make_state(gen_params, disc_params, gen_tx, disc_tx)
+    weights = LossWeights(mrstft=1.0, l1=1.0, kl=1e-4, adv=0.1, fm=0.1)
+
+    rng = np.random.default_rng(2)
+    t = np.arange(6 * cfg.hop) / 24000
+    wav = jnp.asarray((0.5 * np.sin(2 * np.pi * 500 * t))[None, None, :],
+                      jnp.float32)
+    wav = jnp.tile(wav, (2, 1, 1))
+
+    first = None
+    for i in range(6):
+        state, gm = generator_step(state, "sigma", cfg, dcfg, gen_tx, weights,
+                                   wav, jax.random.key(3))
+        state, dm = discriminator_step(state, "sigma", cfg, dcfg, disc_tx,
+                                       wav, jax.random.key(4))
+        if first is None:
+            first = float(gm["gen_total"])
+        for v in list(gm.values()) + list(dm.values()):
+            assert np.isfinite(float(v))
+    assert float(gm["gen_total"]) < first
