@@ -137,14 +137,20 @@ class InferTools:
         audio = self.codec.decode_latents(lat, self._next_rng())
         return audio[0]
 
-    def _latents_for_decode(self, res, sl) -> jnp.ndarray:
+    def _latents_for_decode(self, res, sl,
+                            resample_std: Optional[float] = None) -> jnp.ndarray:
         """Variant semantics: sigma decodes the SAMPLED latents
-        (ref model_sigmaVAE.py:133); stableaudio/melvae decode means (the
-        infer scripts optionally re-sample with std x0.8,
-        ref infer_0828_sigma.py:319-323 — exposed via resample_std)."""
+        (ref model_sigmaVAE.py:133); stableaudio/melvae decode means, or
+        re-sample with a scaled std (x0.8 in the reference,
+        ref infer_0828_sigma.py:319-323) via resample_std."""
         if self.cfg.head_variant == "sigma":
             return res.samples[:, sl]
-        return res.means[:, sl]
+        mean = res.means[:, sl]
+        if resample_std:
+            std = jnp.exp(res.log_scales[:, sl]) * resample_std
+            return mean + std * jax.random.normal(self._next_rng(), mean.shape,
+                                                  mean.dtype)
+        return mean
 
     # ---- batch over a jsonl test set ----
 

@@ -87,6 +87,48 @@ def llasa_params_from_state_dict(sd: Dict, cfg: LlasaConfig) -> dict:
     return {"llama": llama, **head}
 
 
+def llasa_state_dict_from_params(params: dict, cfg: LlasaConfig) -> Dict:
+    """Export this framework's Llasa params to a reference-layout torch
+    state_dict (`base_model.model.*` + heads) so reference tooling can
+    consume TPU-trained checkpoints."""
+    import torch
+
+    t = lambda a: torch.from_numpy(np.asarray(a, np.float32))
+    sd: Dict = {}
+    ll = params["llama"]
+    sd["base_model.model.embed_tokens.weight"] = t(ll["embed"])
+    sd["base_model.model.norm.weight"] = t(ll["final_norm"])
+    L = cfg.llama.num_layers
+    names = {
+        "attn_norm": ("input_layernorm.weight", False),
+        "wq": ("self_attn.q_proj.weight", True),
+        "wk": ("self_attn.k_proj.weight", True),
+        "wv": ("self_attn.v_proj.weight", True),
+        "wo": ("self_attn.o_proj.weight", True),
+        "mlp_norm": ("post_attention_layernorm.weight", False),
+        "wg": ("mlp.gate_proj.weight", True),
+        "wu": ("mlp.up_proj.weight", True),
+        "wd": ("mlp.down_proj.weight", True),
+    }
+    for key, (suffix, transpose) in names.items():
+        stacked = np.asarray(ll["layers"][key], np.float32)
+        for i in range(L):
+            w = stacked[i].T if transpose else stacked[i]
+            sd[f"base_model.model.layers.{i}.{suffix}"] = t(w)
+    sd["audio_linear.weight"] = t(np.asarray(params["audio_linear"]["w"]).T)
+    sd["audio_linear.bias"] = t(params["audio_linear"]["b"])
+    dl = params["distribution_linear"]
+    if "w0" in dl:
+        sd["distribution_linear.0.weight"] = t(np.asarray(dl["w0"]).T)
+        sd["distribution_linear.0.bias"] = t(dl["b0"])
+        sd["distribution_linear.2.weight"] = t(np.asarray(dl["w2"]).T)
+        sd["distribution_linear.2.bias"] = t(dl["b2"])
+    else:
+        sd["distribution_linear.weight"] = t(np.asarray(dl["w"]).T)
+        sd["distribution_linear.bias"] = t(dl["b"])
+    return sd
+
+
 def load_torch_checkpoint(path: str) -> Dict:
     """Load a .pt / .safetensors checkpoint into a numpy-backed dict
     (ref loader: stable_audio_tools/models/utils.py:6-12)."""

@@ -89,7 +89,11 @@ class Trainer:
         b = {k: jnp.asarray(np_batch[k]) for k in BATCH_KEYS}
         return shard_batch(b, self.mesh)
 
-    def fit(self, max_steps: Optional[int] = None) -> Dict[str, float]:
+    def fit(self, max_steps: Optional[int] = None,
+            profile_steps: Optional[tuple] = None) -> Dict[str, float]:
+        """profile_steps=(start, stop): capture a jax.profiler trace into
+        log_dir between those steps (tracing/profiling subsystem —
+        the reference has none, SURVEY.md §5)."""
         exp, tcfg = self.exp, self.tcfg
         dataset = OfflineLatentDataset(
             exp.data.meta_path, self.tokenizer,
@@ -115,8 +119,13 @@ class Trainer:
                     if not len(np_batch["input_ids"]):
                         continue
                     batch = self._device_batch(np_batch)
+                    if profile_steps and step == profile_steps[0]:
+                        jax.profiler.start_trace(exp.log_dir)
                     self.state, m = train_step(
                         self.state, self.cfg, tcfg, self.tx, batch, rng)
+                    if profile_steps and step == profile_steps[1]:
+                        jax.block_until_ready(m["total_loss"])
+                        jax.profiler.stop_trace()
                     step += 1
 
                     if step % tcfg.log_interval == 0:
