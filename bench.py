@@ -17,7 +17,10 @@ import time
 import numpy as np
 
 LATENT_HZ = 7.5  # sigma-VAE frame rate (ref twj_dataset_offline.py:266,284)
-BATCH = 8
+# batch sweep on v5e (128-frame decode): B=8 -> RTF 0.0040, 16 -> 0.0024,
+# 32 -> 0.0017, 64 -> 0.0014; 32 balances per-request latency (<1 s wall
+# for ~17 s of audio) against throughput
+BATCH = 32
 MAX_FRAMES = 128
 TEXT_LEN = 32
 TARGET_RTF = 0.1
@@ -62,7 +65,7 @@ def main():
     print(json.dumps({
         "metric": "synthesis_rtf_v5e_chip",
         "value": round(rtf, 6),
-        "unit": "wall_s_per_audio_s (batch=8, KV-cached decode, 1B bf16)",
+        "unit": "wall_s_per_audio_s (batch=32, KV-cached decode, 1B bf16)",
         "vs_baseline": round(TARGET_RTF / rtf, 3),
     }))
     return 0
