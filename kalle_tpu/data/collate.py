@@ -93,6 +93,19 @@ def collate(
     }
 
 
+def cfg_mask_dropout(batch: Dict[str, np.ndarray], cfg_prob: float,
+                     rng: np.random.Generator) -> Dict[str, np.ndarray]:
+    """CFG training: drop individual audio positions from the attention
+    mask with probability cfg_prob (ref backup/dy_dataset.py:480-483).
+    Input embeddings keep the latent (merge uses audio_mask separately in
+    the reference's attention sum) — here we drop attention only, matching
+    the reference's attention_mask = ids_mask + audio_latents_mask."""
+    out = dict(batch)
+    drop = rng.random(batch["audio_mask"].shape) < cfg_prob
+    out["audio_mask"] = np.logical_and(batch["audio_mask"], ~drop)
+    return out
+
+
 def pad_batch_rows(batch: Dict[str, np.ndarray], multiple: int,
                    pad_token_id: int) -> Dict[str, np.ndarray]:
     """Pad the batch dim to a multiple of `multiple` (the dp mesh size)

@@ -151,6 +151,28 @@ class OfflineLatentDataset:
         return idxs
 
 
+class SftMixDataset(OfflineLatentDataset):
+    """SFT mixing: each epoch trains on sft_lines + an equal-size random
+    sample of base_lines (ref backup/dy_dataset.py TTSDataset_online_lance_
+    for_sft.set_epoch: sft_lst + random.sample(base_lst, len(sft_lst)))."""
+
+    def __init__(self, base_meta, sft_meta, tokenizer, **kw):
+        self.base_lines = (read_jsonl(base_meta) if isinstance(base_meta, str)
+                           else list(base_meta))
+        self.sft_lines = (read_jsonl(sft_meta) if isinstance(sft_meta, str)
+                          else list(sft_meta))
+        super().__init__(self.sft_lines, tokenizer, **kw)
+        self.set_epoch(0)
+
+    def set_epoch(self, epoch: int) -> None:
+        super().set_epoch(epoch)
+        if hasattr(self, "base_lines"):
+            n = min(len(self.sft_lines), len(self.base_lines))
+            sampled = self.py_rng.sample(self.base_lines, n)
+            self.lines = self.sft_lines + sampled
+            self.py_rng.shuffle(self.lines)
+
+
 class PrefetchLoader:
     """Threaded producer-consumer batch loader (ref data_pool.py:10-161).
 

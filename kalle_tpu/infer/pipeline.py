@@ -44,6 +44,7 @@ class Codec:
 
     def decode_latents(self, latents: jnp.ndarray, rng=None) -> np.ndarray:
         """latents (B, T, d) -> host audio (B, C, T_audio)."""
+        latents = jnp.asarray(latents, jnp.float32)  # codecs run f32
         if self.kind == "sigma":
             return np.asarray(sigmavae.decode(self.params, self.cfg, latents))
         if self.kind == "stableaudio":

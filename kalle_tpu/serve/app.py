@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Web demo launcher (tools/web_nos.py equivalent).
+
+Usage: python -m kalle_tpu.serve.app -c cfg.yaml -p ckpt [--port 7860]
+Requires gradio; degrades to a clear error otherwise.
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-c", "--config", required=True)
+    ap.add_argument("-p", "--checkpoint", default="")
+    ap.add_argument("--codec-kind", default="sigma")
+    ap.add_argument("--codec-config", default="")
+    ap.add_argument("--codec-ckpt", default="")
+    ap.add_argument("--port", type=int, default=7860)
+    ap.add_argument("--max-frames", type=int, default=200)
+    ap.add_argument("--platform", default="")
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax
+
+    from ..core.checkpoint import load_reference_llasa_checkpoint
+    from ..core.config import load_experiment_config
+    from ..data.tokens import build_tokenizer
+    from ..infer.pipeline import Codec, InferTools
+    from ..models.lm import llasa
+    from .web import build_app
+
+    exp = load_experiment_config(args.config)
+    tokenizer = build_tokenizer(exp.tokenizer_path or None)
+    cfg = exp.model
+    if args.checkpoint:
+        params = load_reference_llasa_checkpoint(args.checkpoint, cfg)
+    else:
+        params = llasa.init_params(cfg, jax.random.key(0))
+    if args.codec_config and args.codec_ckpt:
+        codec = Codec.load(args.codec_kind, args.codec_config, args.codec_ckpt)
+    else:
+        codec = Codec.random_init(args.codec_kind, latent_dim=cfg.latent_dim)
+
+    it = InferTools(cfg, params, tokenizer, codec, output_root="/tmp/serve_out")
+    app = build_app(it, max_frames=args.max_frames)
+    app.launch(server_name="0.0.0.0", server_port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Serving latency benchmark: p50 time-to-first-audio (TTFA) and end-to-end
+RTF including codec decode.
+
+BASELINE.md north-star: p50 TTFA minimized, tracked per release. TTFA here =
+prefill + decode `chunk_frames` frames + codec-decode of that first chunk
+(streaming playback can start once the first chunk exists).
+
+Prints one JSON line per metric.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--chunk-frames", type=int, default=8)
+    ap.add_argument("--max-frames", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model (CPU smoke)")
+    ap.add_argument("--platform", default="")
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kalle_tpu.core.config import LlasaConfig
+    from kalle_tpu.infer.generate import generate
+    from kalle_tpu.infer.pipeline import Codec
+    from kalle_tpu.models.codecs.sigmavae import SigmaVAEConfig
+    from kalle_tpu.models.lm import llasa
+
+    if args.tiny:
+        cfg = LlasaConfig.tiny()
+        codec = Codec.random_init("sigma", cfg=SigmaVAEConfig.tiny())
+        cfg = LlasaConfig(llama=cfg.llama, latent_dim=codec.cfg.latent_dim,
+                          audio_proj_dim=cfg.audio_proj_dim)
+        dt = jnp.float32
+    else:
+        from __graft_entry__ import _flagship_cfg
+
+        cfg = _flagship_cfg()
+        codec = Codec.random_init("sigma")
+        dt = jnp.bfloat16
+
+    params = llasa.init_params(cfg, jax.random.key(0))
+    params = jax.tree.map(lambda x: x.astype(dt), params)
+
+    rng = np.random.default_rng(0)
+    B = args.batch
+    ids = jnp.asarray(rng.integers(0, cfg.llama.vocab_size - 9, (B, 32)),
+                      jnp.int32)
+    mask = jnp.ones((B, 32), jnp.int32)
+    frame_hz = codec.cfg.frame_rate
+
+    def first_chunk(key):
+        res = generate(params, cfg, ids, mask, key,
+                       max_frames=args.chunk_frames, end_kl_threshold=-1.0)
+        audio = codec.decode_latents(res.samples)
+        return np.asarray(audio)
+
+    def full(key):
+        res = generate(params, cfg, ids, mask, key,
+                       max_frames=args.max_frames, end_kl_threshold=-1.0)
+        return codec.decode_latents(res.samples)
+
+    first_chunk(jax.random.key(1))  # compile
+    full(jax.random.key(1))
+
+    ttfas = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        first_chunk(jax.random.key(2 + i))
+        ttfas.append(time.perf_counter() - t0)
+    p50 = sorted(ttfas)[len(ttfas) // 2]
+
+    t0 = time.perf_counter()
+    n_full = max(args.iters // 2, 1)
+    for i in range(n_full):
+        full(jax.random.key(100 + i))
+    dt_full = (time.perf_counter() - t0) / n_full
+    audio_s = B * args.max_frames / frame_hz
+    rtf = dt_full / audio_s
+
+    print(json.dumps({"metric": "p50_time_to_first_audio_s",
+                      "value": round(p50, 4),
+                      "unit": f"s (batch={B}, {args.chunk_frames} frames "
+                              f"= {args.chunk_frames / frame_hz:.2f}s chunk)"}))
+    print(json.dumps({"metric": "e2e_rtf_incl_codec",
+                      "value": round(rtf, 6),
+                      "unit": f"wall_s_per_audio_s (batch={B})",
+                      "vs_baseline": round(0.1 / rtf, 2)}))
+
+
+if __name__ == "__main__":
+    main()
