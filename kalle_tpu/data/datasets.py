@@ -251,3 +251,16 @@ class PrefetchLoader:
                 self.q.get_nowait()
         except queue.Empty:
             pass
+
+
+class AttrDict(dict):
+    """dict with attribute access — twj_utils.AttrDict reconstruction
+    (used for codec h-configs, ref twj_dataset_offline.py:96-99)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.__dict__ = self
+
+
+# twj_utils API aliases (the broken symlink exported both names)
+load_jsonl = read_jsonl
