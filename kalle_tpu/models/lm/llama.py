@@ -203,7 +203,10 @@ def forward(
     mask = None if flash_pad is not None else make_causal_padding_mask(
         attention_mask, t)
 
+    from ...parallel.mesh import activation_seq_constraint
+
     def body(x, lp):
+        x = activation_seq_constraint(x)  # sequence parallelism (sp axis)
         x, _ = _layer(cfg, x, lp, cos, sin, mask, flash_pad_mask=flash_pad)
         return x, None
 

@@ -21,16 +21,33 @@ from ..core.config import LlamaConfig
 
 DP_AXIS = "dp"
 TP_AXIS = "tp"
+SP_AXIS = "sp"
 
 
-def make_mesh(dp: int = -1, tp: int = 1, devices: Optional[Sequence] = None) -> Mesh:
+def make_mesh(dp: int = -1, tp: int = 1, sp: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """dp x tp (x sp) mesh. sp enables sequence parallelism: activation
+    sequence dims get constrained to the sp axis in the backbone (GSPMD
+    inserts the attention all-gathers/reduce-scatters over ICI)."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp == -1:
-        dp = n // tp
-    assert dp * tp == n, f"dp({dp}) * tp({tp}) != devices({n})"
+        dp = n // (tp * sp)
+    assert dp * tp * sp == n, f"dp({dp})*tp({tp})*sp({sp}) != devices({n})"
+    if sp > 1:
+        arr = np.asarray(devices).reshape(dp, tp, sp)
+        return Mesh(arr, (DP_AXIS, TP_AXIS, SP_AXIS))
     arr = np.asarray(devices).reshape(dp, tp)
     return Mesh(arr, (DP_AXIS, TP_AXIS))
+
+
+def activation_seq_constraint(x):
+    """Constrain (b, t, h) activations to P(dp, sp, None) when an sp axis is
+    present in the ambient mesh; no-op otherwise."""
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or SP_AXIS not in getattr(mesh, "axis_names", ()):
+        return x
+    return jax.lax.with_sharding_constraint(x, P(DP_AXIS, SP_AXIS, None))
 
 
 def param_pspecs(llasa_params: dict) -> dict:

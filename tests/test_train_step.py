@@ -113,3 +113,28 @@ def test_grad_accumulation_equivalence():
     for a, b in zip(jax.tree.leaves(st_f.params), jax.tree.leaves(st_a.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_dp_tp_sp_sharded_step_matches_single_device():
+    """3-D mesh: dp=2, tp=2, sp=2 (sequence parallel) == single device."""
+    cfg = LlasaConfig(llama=LlamaConfig.tiny(), latent_dim=8,
+                      audio_proj_dim=64, head_variant="melvae")
+    tcfg = TrainConfig(lr=1e-3, warmup_steps=2, total_steps=100)
+    params = llasa.init_params(cfg, jax.random.key(7))
+    tx = make_optimizer(tcfg)
+    batch = _tiny_batch(b=4, seed=11)
+    batch["distribute_labels"] = jnp.concatenate(
+        [batch["distribute_labels"], jnp.zeros_like(batch["distribute_labels"])], -1)
+    rng = jax.random.key(0)
+
+    st1 = make_train_state(jax.tree.map(jnp.copy, params), tx)
+    st1, m1 = train_step(st1, cfg, tcfg, tx, batch, rng)
+
+    mesh = make_mesh(dp=2, tp=2, sp=2)
+    with jax.sharding.set_mesh(mesh):
+        sp = shard_params(params, mesh)
+        sb = shard_batch(batch, mesh)
+        stn = make_train_state(sp, tx)
+        stn, mn = train_step(stn, cfg, tcfg, tx, sb, rng)
+    np.testing.assert_allclose(float(m1["total_loss"]), float(mn["total_loss"]),
+                               rtol=1e-5)
