@@ -141,10 +141,12 @@ def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, cache_kv=None,
     b, t, h = x.shape
     nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
+    from ...ops.quant import maybe_matmul
+
     attn_in = rms_norm(x, lp["attn_norm"].astype(dt), cfg.rms_norm_eps)
-    q = (attn_in @ lp["wq"].astype(dt)).reshape(b, t, nq, hd)
-    k = (attn_in @ lp["wk"].astype(dt)).reshape(b, t, nkv, hd)
-    v = (attn_in @ lp["wv"].astype(dt)).reshape(b, t, nkv, hd)
+    q = maybe_matmul(attn_in, lp["wq"]).reshape(b, t, nq, hd)
+    k = maybe_matmul(attn_in, lp["wk"]).reshape(b, t, nkv, hd)
+    v = maybe_matmul(attn_in, lp["wv"]).reshape(b, t, nkv, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -152,11 +154,11 @@ def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, cache_kv=None,
         from ...ops.pallas.flash_attention import flash_attention
 
         attn = flash_attention(q, k, v, flash_pad_mask)
-        x = x + (attn.reshape(b, t, nq * hd) @ lp["wo"].astype(dt))
+        x = x + maybe_matmul(attn.reshape(b, t, nq * hd), lp["wo"])
         mlp_in = rms_norm(x, lp["mlp_norm"].astype(dt), cfg.rms_norm_eps)
-        gate = jax.nn.silu(mlp_in @ lp["wg"].astype(dt))
-        up = mlp_in @ lp["wu"].astype(dt)
-        x = x + (gate * up) @ lp["wd"].astype(dt)
+        gate = jax.nn.silu(maybe_matmul(mlp_in, lp["wg"]))
+        up = maybe_matmul(mlp_in, lp["wu"])
+        x = x + maybe_matmul(gate * up, lp["wd"])
         return x, (k, v)
 
     if cache_kv is not None:
@@ -171,12 +173,12 @@ def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, cache_kv=None,
         attn = mha(q, k, v, mask)
         new_kv = (k, v)
 
-    x = x + (attn.reshape(b, t, nq * hd) @ lp["wo"].astype(dt))
+    x = x + maybe_matmul(attn.reshape(b, t, nq * hd), lp["wo"])
 
     mlp_in = rms_norm(x, lp["mlp_norm"].astype(dt), cfg.rms_norm_eps)
-    gate = jax.nn.silu(mlp_in @ lp["wg"].astype(dt))
-    up = mlp_in @ lp["wu"].astype(dt)
-    x = x + (gate * up) @ lp["wd"].astype(dt)
+    gate = jax.nn.silu(maybe_matmul(mlp_in, lp["wg"]))
+    up = maybe_matmul(mlp_in, lp["wu"])
+    x = x + maybe_matmul(gate * up, lp["wd"])
     return x, new_kv
 
 
