@@ -68,6 +68,7 @@ def generate(
     end_kl_threshold: Optional[float] = None,
     prompt_latents: Optional[jnp.ndarray] = None,  # (b, tl, d) audio prompt
     prompt_latents_mask: Optional[jnp.ndarray] = None,  # (b, tl)
+    embed_bias: Optional[jnp.ndarray] = None,  # (b, h) per-frame speaker cond
 ) -> GenResult:
     """Batched TTS/audio generation: prompt -> latent frames.
 
@@ -98,6 +99,11 @@ def generate(
     else:
         embeds = text_embed
         pmask = prompt_mask.astype(bool)
+
+    if embed_bias is not None:
+        # framewise speaker conditioning: added to EVERY position, incl.
+        # generated frames (ref infer_framewise_cond.py:143,168)
+        embeds = embeds + embed_bias.astype(dt)[:, None, :]
 
     t_pre = embeds.shape[1]
     # left-padded: local position = slot - n_pads
@@ -158,6 +164,8 @@ def generate(
 
         # next input embed from the sampled latent (ref :144-145)
         a_embed = llasa.audio_proj(params, sample, dt)
+        if embed_bias is not None:
+            a_embed = a_embed + embed_bias.astype(dt)[:, None, :]
         slot = s["cache"].length
         s["valid"] = jax.lax.dynamic_update_slice(
             s["valid"], live[:, None], (0, slot))

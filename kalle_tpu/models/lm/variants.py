@@ -196,6 +196,40 @@ def stream_spkvae_forward(
             "end_loss": end_loss, "pre_mean": mean2, "pre_log_scale": logs2}
 
 
+def framewise_speaker_forward(
+    params: dict,
+    cfg: LlasaConfig,
+    batch: Dict[str, jnp.ndarray],
+    ecapa_cfg: ecapa.EcapaConfig,
+) -> Dict[str, jnp.ndarray]:
+    """Per-frame speaker conditioning: the ECAPA embedding is ADDED to every
+    input embedding instead of prepended as a frame
+    (ref infer_backup/infer_framewise_cond.py:84-90)."""
+    dt = jnp.dtype(cfg.llama.dtype)
+    ids_mask = batch["ids_mask"].astype(dt)
+    audio_mask = batch["audio_mask"].astype(dt)
+
+    text_embed = llama.embed_tokens(params["llama"], batch["input_ids"], cfg.llama)
+    audio_embed = _audio_proj(params, batch["audio_latents"], dt)
+    spk = speaker_embedding(params, ecapa_cfg, batch["mels"].astype(jnp.float32))
+
+    input_embed = (audio_embed * audio_mask[..., None]
+                   + text_embed * ids_mask[..., None])
+    input_embed = input_embed + spk.astype(dt)[:, None, :]
+    attn = (batch["ids_mask"].astype(jnp.int32)
+            + batch["audio_mask"].astype(jnp.int32))
+
+    hidden = llama.forward(params["llama"], cfg.llama, input_embed, attn)
+    out = _head(params, hidden, dt)
+    mean2, logs2 = split_mean_scale_btd(out)
+    mean1, logs1 = split_mean_scale_btd(batch["distribute_labels"])
+    kl_elem = gaussian_kl(mean2, jnp.exp(logs2), mean1, jnp.exp(logs1))
+    audio_loss, end_loss = masked_frame_loss(
+        kl_elem, cfg.latent_dim, batch["target_mask"], batch["end_mask"])
+    return {"audio_loss": audio_loss, "end_loss": end_loss,
+            "pre_mean": mean2, "pre_log_scale": logs2}
+
+
 # ---------------------------------------------------------------------------
 # sampling utilities (reconstructions of the missing norm_sample module)
 # ---------------------------------------------------------------------------

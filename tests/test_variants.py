@@ -143,3 +143,22 @@ def test_confidence_interval_sampling():
                                                    n_samples=100)
     assert s.shape == (100, 64)
     assert np.abs(np.asarray(s)).max() <= 1.96 + 1e-5
+
+
+def test_framewise_speaker_forward_and_generate():
+    cfg, ecfg = _cfg(), _ecfg()
+    params = variants.init_variant_params(cfg, jax.random.key(8), ecfg)
+    out = variants.framewise_speaker_forward(params, cfg, _batch(), ecfg)
+    assert np.isfinite(float(out["audio_loss"]))
+
+    from kalle_tpu.infer.generate import generate
+    lp = llasa.init_params(cfg, jax.random.key(9))
+    ids = jnp.asarray(np.random.default_rng(4).integers(0, 300, (1, 5)))
+    mask = jnp.ones((1, 5), jnp.int32)
+    bias = jnp.ones((1, cfg.llama.hidden_size)) * 0.1
+    r0 = generate(lp, cfg, ids, mask, jax.random.key(0), max_frames=5,
+                  end_kl_threshold=-1.0)
+    r1 = generate(lp, cfg, ids, mask, jax.random.key(0), max_frames=5,
+                  end_kl_threshold=-1.0, embed_bias=bias)
+    assert np.isfinite(np.asarray(r1.samples)).all()
+    assert np.abs(np.asarray(r0.means) - np.asarray(r1.means)).max() > 1e-5
