@@ -76,8 +76,9 @@ class OnlineEncoder:
 
     def encode_batch(self, wavs: List[np.ndarray]) -> List[np.ndarray]:
         """wavs: list of (1, T) mono float32 (already at codec sr) ->
-        list of (C_latent, T') mean||scale stacks, batched on device with
-        right zero-padding (trimmed back per item)."""
+        list of channel-first (C, T') stacks, batched on device with right
+        zero-padding (trimmed back per item). C = 2*latent (mean||scale)
+        for stableaudio/melvae; C = latent (means only) for sigma."""
         import jax.numpy as jnp
 
         ratio = getattr(self.codec.cfg, "downsampling_ratio",
@@ -89,10 +90,9 @@ class OnlineEncoder:
         for i, w in enumerate(wavs):
             x = np.repeat(w, 2, axis=0) if self.fake_stereo else w
             batch[i, :, :lens[i]] = x
-        z = self.codec.encode_audio(jnp.asarray(batch))  # (B, C, T') or (B,T',d)
-        if z.ndim == 3 and z.shape[-1] != z.shape[1] and self.codec.kind == "sigma":
-            z = np.transpose(np.asarray(z), (0, 2, 1))  # sigma returns (B,T',d)
-        z = np.asarray(z)
+        z = np.asarray(self.codec.encode_audio(jnp.asarray(batch)))
+        if self.codec.kind == "sigma":  # sigma encode returns (B, T', d)
+            z = np.transpose(z, (0, 2, 1))
         out = []
         for i, ln in enumerate(lens):
             t = max(ln // ratio, 1)
@@ -137,19 +137,27 @@ class OnlineAudioDataset:
         from .datasets import vae_sample
 
         wavs = [self.load_audio(i) for i in idxs]
-        stacks = self.encoder.encode_batch(wavs)  # (2d, T') each
+        stacks = self.encoder.encode_batch(wavs)  # (C, T') each
         items = []
         for i, z in zip(idxs, stacks):
             row = self._row(i)
             text = str(row[self.text_key])
             ids = np.asarray(build_prompt_ids(self.tokenizer, text), np.int32)
-            d2 = z.shape[0]
-            mean, scale = z[: d2 // 2], z[d2 // 2:]
-            lat, _ = vae_sample(mean[None], scale[None], self.rng)
+            if self.encoder.codec.kind == "sigma":
+                # sigma: z is means (d, T'); labels == means, noising is
+                # the model's job (ref model_sigmaVAE.py:68)
+                lat_td = z.T.astype(np.float32)
+                dist_td = lat_td.copy()
+            else:
+                d2 = z.shape[0]
+                mean, scale = z[: d2 // 2], z[d2 // 2:]
+                lat, _ = vae_sample(mean[None], scale[None], self.rng)
+                lat_td = lat[0].T.astype(np.float32)       # (T', d)
+                dist_td = z.T.astype(np.float32)           # (T', 2d)
             items.append(Item(
                 input_ids=ids,
-                audio_latents=lat[0].T.astype(np.float32),       # (T', d)
-                audio_distribution=z.T.astype(np.float32),        # (T', 2d)
+                audio_latents=lat_td,
+                audio_distribution=dist_td,
                 raw_text=text,
                 speech_path=str(row.get("id", i)) if hasattr(row, "get") else str(i),
             ))

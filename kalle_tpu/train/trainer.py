@@ -61,18 +61,17 @@ class Trainer:
         key = jax.random.key(self.tcfg.seed)
         params = llasa.init_params(self.cfg, key)
         if self.exp.llm_model_name_or_path:
-            from ..models.lm.convert import llama_params_from_state_dict
-
-            import torch  # local import: host-side only
-
-            sd = {}
             path = self.exp.llm_model_name_or_path
             try:
+                import torch  # host-side only
                 from transformers import AutoModelForCausalLM
 
-                m = AutoModelForCausalLM.from_pretrained(path, torch_dtype=torch.float32)
-                sd = m.state_dict()
-                params["llama"] = llama_params_from_state_dict(sd, self.cfg.llama)
+                from ..models.lm.convert import llama_params_from_state_dict
+
+                m = AutoModelForCausalLM.from_pretrained(
+                    path, torch_dtype=torch.float32)
+                params["llama"] = llama_params_from_state_dict(
+                    m.state_dict(), self.cfg.llama)
                 print(f"loaded Llama backbone from {path}")
             except Exception as e:
                 print(f"WARNING: could not load backbone from {path}: {e}; "
