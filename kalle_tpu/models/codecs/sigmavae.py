@@ -48,6 +48,9 @@ class SigmaVAEConfig:
     mlp_ratio: int = 2
     kernel: int = 7
     sigma: float = 0.5
+    # route residual blocks through the fused Pallas kernel (TPU-only;
+    # keeps norm->dwconv->GEGLU->residual in VMEM, ~activation-traffic /4)
+    fused_blocks: bool = False
 
     @property
     def hop(self) -> int:
@@ -131,6 +134,21 @@ def _causal_dw(x, p, k):
 
 
 def _block(x, p, cfg):
+    if (cfg.fused_blocks and cfg.kernel == 7
+            and jax.default_backend() != "cpu"):
+        from ...ops.pallas.convnext_block import fused_convnext_block
+
+        T = x.shape[1]
+        blk = min(512, T)
+        pad = (-T) % blk
+        if pad:  # causal: trailing zero-pad never leaks backward
+            x_p = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        else:
+            x_p = x
+        y = fused_convnext_block(x_p, p["norm"], p["dw"]["w"], p["dw"]["b"],
+                                 p["up"]["w"], p["up"]["b"],
+                                 p["down"]["w"], p["down"]["b"], block_t=blk)
+        return y[:, :T, :]
     h = _rms_norm(x, p["norm"])
     h = _causal_dw(h, p["dw"], cfg.kernel)
     h = conv1d(h, p["up"]["w"], p["up"]["b"])
