@@ -38,24 +38,28 @@ class GenResult(NamedTuple):
     end_kl: jnp.ndarray       # (b, max_frames) end-detector trace
 
 
-def _head_step(cfg: LlasaConfig, params, hidden, rng):
-    """hidden (b,1,h) -> (mean, log_scale, sample) each (b,1,d)."""
+def _head_step(cfg: LlasaConfig, params, hidden, rng, greedy: bool = False):
+    """hidden (b,1,h) -> (mean, log_scale, sample) each (b,1,d).
+    greedy=True emits the mean (deterministic decode / golden tests)."""
     dt = hidden.dtype
     out = llasa.distribution_head(params, hidden, dt)
     if cfg.head_variant == "sigma":
         mean = out
         logs = jnp.full_like(mean, jnp.log(cfg.sigma))
-        sample = mean + cfg.sigma * jax.random.normal(rng, mean.shape, mean.dtype)
+        std = cfg.sigma
     else:
         d = out.shape[-1] // 2
         mean, logs = out[..., :d], out[..., d:]
-        sample = mean + jnp.exp(logs) * jax.random.normal(rng, mean.shape, mean.dtype)
+        std = jnp.exp(logs)
+    if greedy:
+        return mean, logs, mean
+    sample = mean + std * jax.random.normal(rng, mean.shape, mean.dtype)
     return mean, logs, sample
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_frames", "cache_len"),
+    static_argnames=("cfg", "max_frames", "cache_len", "greedy"),
 )
 def generate(
     params: dict,
@@ -69,6 +73,7 @@ def generate(
     prompt_latents: Optional[jnp.ndarray] = None,  # (b, tl, d) audio prompt
     prompt_latents_mask: Optional[jnp.ndarray] = None,  # (b, tl)
     embed_bias: Optional[jnp.ndarray] = None,  # (b, h) per-frame speaker cond
+    greedy: bool = False,  # emit means (deterministic decode)
 ) -> GenResult:
     """Batched TTS/audio generation: prompt -> latent frames.
 
@@ -143,7 +148,7 @@ def generate(
     def body(s):
         i = s["i"]
         rng, krng = jax.random.split(s["rng"])
-        mean, logs, sample = _head_step(cfg, params, s["hidden"], krng)
+        mean, logs, sample = _head_step(cfg, params, s["hidden"], krng, greedy)
 
         kl = llasa.end_kl(cfg, mean, jnp.exp(logs.astype(jnp.float32)))[:, 0]
         live = ~s["done"]

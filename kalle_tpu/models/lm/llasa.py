@@ -103,6 +103,7 @@ def forward(
     cfg: LlasaConfig,
     batch: Dict[str, jnp.ndarray],
     rng: Optional[jax.Array] = None,
+    latent_noise: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Training forward. batch keys (collate layout, ref
     twj_dataset_offline.py:327-386):
@@ -120,10 +121,15 @@ def forward(
     text_embed = llama.embed_tokens(params["llama"], input_ids, cfg.llama)
 
     if cfg.head_variant == "sigma":
-        # input latents are noised before embedding (ref model_sigmaVAE.py:68)
-        if rng is None:
-            raise ValueError("sigma variant requires rng for latent noising")
-        latents = sample_fix(rng, latents.astype(dt), cfg.sigma)
+        # input latents are noised before embedding (ref model_sigmaVAE.py:68).
+        # latent_noise injects a fixed N(0,1) draw (deterministic replay /
+        # golden tests); otherwise rng drives sample_fix.
+        if latent_noise is not None:
+            latents = latents.astype(dt) + cfg.sigma * latent_noise.astype(dt)
+        elif rng is not None:
+            latents = sample_fix(rng, latents.astype(dt), cfg.sigma)
+        else:
+            raise ValueError("sigma variant requires rng or latent_noise")
 
     audio_embed = audio_proj(params, latents, dt)
     input_embed = (audio_embed * audio_mask[..., None]
