@@ -1,0 +1,3 @@
+from . import ecapa, mrte
+
+__all__ = ["ecapa", "mrte"]
