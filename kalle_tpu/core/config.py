@@ -46,6 +46,12 @@ class LlamaConfig:
     dtype: str = "bfloat16"  # compute dtype (MXU-native)
     param_dtype: str = "float32"  # master params
     remat: bool = False  # jax.checkpoint each layer block
+    # route full-sequence attention through the Pallas flash kernel (fwd+bwd)
+    # when the bucket length is block-aligned; TPU equivalent of the
+    # reference's attn_implementation="flash_attention_2" default
+    # (ref model.py:20-23, model_sigmaVAE.py:17-22). Auto-disabled on CPU
+    # unless forced (tests force interpret mode).
+    use_flash_attention: bool = True
 
     @staticmethod
     def tiny(vocab_size: int = 300) -> "LlamaConfig":
@@ -198,6 +204,9 @@ def load_experiment_config(path_or_dict: Any) -> ExperimentConfig:
         llama = dataclasses.replace(LlamaConfig(), **kwargs)
     else:
         llama = LlamaConfig()
+    # the reference YAML spells it "use_flash_attation" (typo kept verbatim)
+    llama = dataclasses.replace(llama, use_flash_attention=bool(
+        _get(raw, "use_flash_attation", _get(raw, "use_flash_attention", True))))
 
     model = LlasaConfig(
         llama=llama,

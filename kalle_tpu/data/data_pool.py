@@ -1,12 +1,14 @@
-"""Prefetch-pool API parity layer.
+"""Prefetch pool — the single threaded item-producer in the framework.
 
 Reference: data_pool.py — DataPrefetchPool (producer threads filling a
 bounded queue with wrap-around indexing and 90%-full backoff, :10-118),
 PrefetchDataIterator (static batch size, :122-160) and
 DynamicPrefetchBatchIterator (feeds DynamicBatchGenerator, :161-209).
 
-The modern path is datasets.PrefetchLoader; these classes keep the
-reference's public API for drop-in use.
+Two consumption modes share the same pool:
+  * the reference's infinite sampled stream (start()/get()) for drop-in use
+  * `finite_iter(idxs)` — epoch-deterministic exactly-once production,
+    which datasets.PrefetchLoader builds its batch pipeline on.
 """
 from __future__ import annotations
 
@@ -14,7 +16,7 @@ import queue
 import random
 import threading
 import time
-from typing import Callable, List, Optional
+from typing import Callable, Iterator, List, Optional, Sequence
 
 from .collate import DynamicBatchGenerator
 
@@ -78,6 +80,34 @@ class DataPrefetchPool:
                 self.q.get_nowait()
         except queue.Empty:
             pass
+
+    def finite_iter(self, idxs: Sequence[int],
+                    stop: Optional[threading.Event] = None) -> Iterator:
+        """Yield dataset[i] for each i in idxs exactly once (epoch mode),
+        produced by num_workers threads into a bounded queue. Order is
+        completion order, deterministic partitioning idxs[w::workers]."""
+        stop = stop or self._stop
+        item_q: "queue.Queue" = queue.Queue(maxsize=self.num_workers * 4)
+
+        def worker(sub):
+            for i in sub:
+                if stop.is_set():
+                    break
+                item_q.put(self.dataset[i])
+            item_q.put(None)
+
+        shards = [idxs[w::self.num_workers] for w in range(self.num_workers)]
+        threads = [threading.Thread(target=worker, args=(s,), daemon=True)
+                   for s in shards]
+        for t in threads:
+            t.start()
+        finished = 0
+        while finished < self.num_workers and not stop.is_set():
+            it = item_q.get()
+            if it is None:
+                finished += 1
+                continue
+            yield it
 
 
 class PrefetchDataIterator:

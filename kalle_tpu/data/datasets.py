@@ -119,6 +119,16 @@ class OfflineLatentDataset:
                 return str(row[k])
         raise KeyError(f"no caption key in {list(row)}")
 
+    def _latents(self, row: dict):
+        """row -> (latents (T, d), distribution (T, d or 2d)). Hook for
+        subclasses with other latent sources (e.g. MelVAECacheDataset)."""
+        vae_path = row["vae"] if "vae" in row else row["vae_latent_path"]
+        if self.latent_kind == "sigma":
+            lat = load_sigma_latent(vae_path)
+            return lat, lat.copy()
+        dist, lat = load_stableaudio_latent(vae_path, self.rng)
+        return lat, dist
+
     def __getitem__(self, idx: int) -> Item:
         for _attempt in range(64):
             try:
@@ -126,12 +136,7 @@ class OfflineLatentDataset:
                 if not row:
                     raise ValueError("empty row")
                 text = self._caption(row)
-                vae_path = row["vae"] if "vae" in row else row["vae_latent_path"]
-                if self.latent_kind == "sigma":
-                    lat = load_sigma_latent(vae_path)
-                    dist = lat.copy()
-                else:
-                    dist, lat = load_stableaudio_latent(vae_path, self.rng)
+                lat, dist = self._latents(row)
                 ids = np.asarray(build_prompt_ids(self.tokenizer, text), np.int32)
                 if not (np.isfinite(lat).all() and np.isfinite(dist).all()):
                     raise ValueError("NaN/Inf in latents")
@@ -173,6 +178,54 @@ class SftMixDataset(OfflineLatentDataset):
             self.py_rng.shuffle(self.lines)
 
 
+class MelVAECacheDataset(OfflineLatentDataset):
+    """mel-VAE hybrid dataset: latents cached NEXT TO the wav as
+    `{speech_stem}.melvae.npy` (1, 2*dim, T) mean||log_scale. If the cache
+    file exists it is loaded; otherwise the wav is encoded through the
+    injected `encode_fn` and (unlike the reference, which re-encodes every
+    epoch) written back so the first epoch pays the encode once
+    (ref training_version/melvae/twj_dataset_offline.py:123-138).
+
+    encode_fn: (1, 1, T) float32 wav at target_sr -> (1, 2*dim, T') numpy
+    (typically a jitted melvae.extract_latents + np.asarray)."""
+
+    def __init__(self, meta_path_or_lines, tokenizer,
+                 encode_fn: Callable[[np.ndarray], np.ndarray],
+                 target_sr: int = 16000, write_cache: bool = True, **kw):
+        kw.setdefault("latent_kind", "melvae")
+        super().__init__(meta_path_or_lines, tokenizer, **kw)
+        self.encode_fn = encode_fn
+        self.target_sr = target_sr
+        self.write_cache = write_cache
+
+    def _latents(self, row: dict):
+        import os
+
+        speech = row["speech"]
+        cache = os.path.splitext(speech)[0] + ".melvae.npy"
+        if os.path.exists(cache):
+            mean_scale = np.load(cache)  # (1, 2*dim, T)
+        else:
+            from ..utils.audio import read_wav, resample_linear
+
+            wav, sr = read_wav(speech)
+            wav = resample_linear(wav.mean(axis=0, keepdims=True),
+                                  sr, self.target_sr)
+            mean_scale = np.asarray(self.encode_fn(wav[None].astype(np.float32)))
+            if self.write_cache:
+                tmp = cache + ".tmp"
+                np.save(tmp, mean_scale)
+                os.replace(tmp + ".npy" if not tmp.endswith(".npy") else tmp,
+                           cache)
+        d = mean_scale.shape[1] // 2
+        mean, logs = mean_scale[0, :d], mean_scale[0, d:]
+        # reparameterized sample (ref :134-136), channel-first -> (T, dim)
+        lat = (mean + np.exp(logs) * self.rng.standard_normal(mean.shape)
+               ).astype(np.float32).T
+        dist = mean_scale[0].astype(np.float32).T  # (T, 2*dim) mean||logs
+        return lat, dist
+
+
 class PrefetchLoader:
     """Threaded producer-consumer batch loader (ref data_pool.py:10-161).
 
@@ -202,28 +255,14 @@ class PrefetchLoader:
         self._thread: Optional[threading.Thread] = None
 
     def _produce(self, epoch: int):
+        # item production is delegated to the shared DataPrefetchPool
+        # (single prefetch engine in the framework, data_pool.finite_iter)
+        from .data_pool import DataPrefetchPool
+
         gen = DynamicBatchGenerator(*self.gen_args)
-        idxs = self.dataset.shuffled_indices()
-        item_q: "queue.Queue" = queue.Queue(maxsize=self.num_workers * 4)
-
-        def worker(sub):
-            for i in sub:
-                if self._stop.is_set():
-                    return
-                item_q.put(self.dataset[i])
-            item_q.put(None)
-
-        shards = [idxs[w::self.num_workers] for w in range(self.num_workers)]
-        threads = [threading.Thread(target=worker, args=(s,), daemon=True)
-                   for s in shards]
-        for t in threads:
-            t.start()
-        finished = 0
-        while finished < self.num_workers and not self._stop.is_set():
-            it = item_q.get()
-            if it is None:
-                finished += 1
-                continue
+        pool = DataPrefetchPool(self.dataset, num_workers=self.num_workers)
+        for it in pool.finite_iter(self.dataset.shuffled_indices(),
+                                   stop=self._stop):
             b = gen.add(it)
             if b:
                 self.q.put(collate(b, self.pad_token_id, self.buckets))

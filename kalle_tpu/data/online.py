@@ -35,24 +35,52 @@ def read_parquet(paths) -> "object":
     return pd.concat(frames, ignore_index=True)
 
 
+def _decode_via_ffmpeg(data: bytes, target_sr: int) -> np.ndarray:
+    """bytes (any container ffmpeg knows: mp3/flac/ogg/m4a/...) ->
+    (1, T) float32 mono at target_sr via an ffmpeg subprocess. Replaces the
+    reference's librosa.load catch-all (ref twj_dataset.py:234-237) without
+    the librosa/soundfile dependency."""
+    import shutil
+    import subprocess
+
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None:
+        raise RuntimeError(
+            "non-WAV audio and neither soundfile nor ffmpeg available")
+    proc = subprocess.run(
+        [ffmpeg, "-v", "error", "-i", "pipe:0", "-f", "f32le", "-ac", "1",
+         "-ar", str(target_sr), "pipe:1"],
+        input=data, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        check=False)
+    if proc.returncode != 0 or not proc.stdout:
+        raise RuntimeError(
+            f"ffmpeg decode failed: {proc.stderr.decode(errors='replace')[:500]}")
+    wav = np.frombuffer(proc.stdout, np.float32).copy()
+    return wav[None, :]
+
+
 def decode_audio_bytes(data: bytes, target_sr: int) -> np.ndarray:
-    """bytes -> (1, T) float32 mono at target_sr. WAV via stdlib; other
-    formats need soundfile (librosa replacement)."""
+    """bytes -> (1, T) float32 mono at target_sr. WAV via stdlib/soundfile;
+    other formats fall back to an ffmpeg subprocess (the librosa-decode
+    equivalent of ref twj_dataset.py:234-237)."""
     try:
         import soundfile as sf
 
         wav, sr = sf.read(io.BytesIO(data), dtype="float32", always_2d=True)
         wav = wav.T
     except Exception:
-        import tempfile, os
+        if data[:4] == b"RIFF":
+            import tempfile, os
 
-        with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
-            f.write(data)
-            path = f.name
-        try:
-            wav, sr = read_wav(path)
-        finally:
-            os.unlink(path)
+            with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+                f.write(data)
+                path = f.name
+            try:
+                wav, sr = read_wav(path)
+            finally:
+                os.unlink(path)
+        else:
+            return _decode_via_ffmpeg(data, target_sr)  # already resampled
     wav = wav.mean(axis=0, keepdims=True)
     return resample_linear(wav, sr, target_sr)
 

@@ -63,15 +63,62 @@ def make_whisper_transcriber(model_name: str = "openai/whisper-large-v3",
                                    "task": "transcribe"})["text"]
 
 
+def make_paraformer_transcriber(
+    model: str = "iic/speech_seaco_paraformer_large_asr_nat-zh-cn-16k-common-vocab8404-pytorch",
+    vad_model: Optional[str] = "iic/speech_fsmn_vad_zh-cn-16k-common-pytorch",
+    punc_model: Optional[str] = "iic/punc_ct-transformer_cn-en-common-vocab471067-large",
+    to_simplified: bool = True,
+) -> Callable[[str], str]:
+    """ZH backend: FunASR SeACo-Paraformer with VAD + punctuation models,
+    output converted to simplified Chinese (ref tools/asr_test.py:34-45,
+    85-95). Requires the funasr package + local checkpoints; transcription
+    errors degrade to "" exactly as the reference does."""
+    from funasr import AutoModel  # gated: not baked into this image
+
+    asr = AutoModel(model=model, vad_model=vad_model, punc_model=punc_model,
+                    disable_update=True, disable_pbar=True)
+    try:
+        import zhconv
+
+        def _simplify(t: str) -> str:
+            return zhconv.convert(t, "zh-cn") if to_simplified else t
+    except ImportError:
+        def _simplify(t: str) -> str:
+            return t
+
+    def transcribe(wav_path: str) -> str:
+        try:
+            res = asr.generate(input=wav_path, batch_size_s=300)
+            return _simplify(res[0]["text"])
+        except Exception:
+            return ""  # ref asr_test.py:92-94
+
+    return transcribe
+
+
+def make_transcriber(lang: str, **kwargs) -> Callable[[str], str]:
+    """Language dispatch matching the reference CLI: en -> Whisper-large-v3,
+    zh -> Paraformer (ref tools/asr_test.py:46-50)."""
+    if lang == "en":
+        return make_whisper_transcriber(**kwargs)
+    if lang == "zh":
+        return make_paraformer_transcriber(**kwargs)
+    raise ValueError(f"unsupported ASR language {lang!r} (en|zh)")
+
+
 def run_asr(
     lang: str,
     wav_dir: str,
     meta: List[MetaItem],
-    transcriber: Callable[[str], str],
+    transcriber: Optional[Callable[[str], str]] = None,
     gen_suffix: str = "---gen.wav",
 ) -> Tuple[str, str]:
     """Transcribe every {utt}{gen_suffix} in wav_dir listed in meta ->
-    (aaa_gt.txt, aaa_asr.txt) paths (ref tools/asr_test.py:47-99)."""
+    (aaa_gt.txt, aaa_asr.txt) paths (ref tools/asr_test.py:47-99).
+    transcriber=None builds the default backend for `lang` via
+    make_transcriber (en: Whisper, zh: Paraformer)."""
+    if transcriber is None:
+        transcriber = make_transcriber(lang)
     gt_path = os.path.join(wav_dir, "aaa_gt.txt")
     asr_path = os.path.join(wav_dir, "aaa_asr.txt")
     with open(gt_path, "w", encoding="utf-8") as gt, \
@@ -89,7 +136,7 @@ def run_asr(
 
 
 def wer_pipeline(lang: str, wav_dir: str, meta_path: str,
-                 transcriber: Callable[[str], str],
+                 transcriber: Optional[Callable[[str], str]] = None,
                  char_level: Optional[bool] = None) -> float:
     """compute-wer.sh equivalent: asr -> scorer -> 000000000_wer.txt
     (ref tools/compute-wer.sh:24-27)."""

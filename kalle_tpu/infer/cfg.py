@@ -113,8 +113,8 @@ def cfg_generate(
         s["steps"] = s["steps"] + live.astype(jnp.int32)
 
         kl = llasa.end_kl(cfg, mean, jnp.exp(logs.astype(jnp.float32)))[:, 0]
-        s["done"] = jnp.logical_or(s["done"],
-                                   jnp.logical_and(kl < thres, i > 3))
+        s["done"] = jnp.logical_or(
+            s["done"], jnp.logical_and(kl < thres, i >= cfg.min_frames))
 
         a_embed = _lin(params, "audio_linear", sample, dt)
         slot = s["cache_c"].length

@@ -163,8 +163,9 @@ def generate(
         s["steps"] = s["steps"] + live.astype(jnp.int32)
 
         # stop test AFTER emitting (ref: frame appended before break,
-        # model_sigmaVAE.py:133-142); i > 3 gate
-        newly_done = jnp.logical_and(kl < thres, i > 3)
+        # model_sigmaVAE.py:133-142); gate fires once >= min_frames frames
+        # are out (reference's `i > 3` with its min of 4, model.py:142)
+        newly_done = jnp.logical_and(kl < thres, i >= cfg.min_frames)
         s["done"] = jnp.logical_or(s["done"], newly_done)
 
         # next input embed from the sampled latent (ref :144-145)

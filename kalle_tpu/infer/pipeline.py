@@ -42,6 +42,13 @@ class Codec:
     def sample_rate(self) -> int:
         return self.cfg.sample_rate
 
+    @property
+    def samples_per_frame(self) -> int:
+        """Audio samples produced per latent frame."""
+        if self.kind == "stableaudio":
+            return int(self.cfg.downsampling_ratio)
+        return int(self.cfg.hop)  # sigma / melvae
+
     def astype(self, dtype) -> "Codec":
         """Cast codec params (bf16 decode is ~1.5x faster on v5e; wav
         deviation ~2e-2 worst-case — serving-quality tradeoff)."""
@@ -49,8 +56,14 @@ class Codec:
         self._dtype = jnp.dtype(dtype)
         return self
 
-    def decode_latents(self, latents: jnp.ndarray, rng=None) -> np.ndarray:
-        """latents (B, T, d) -> host audio (B, C, T_audio)."""
+    def decode_latents(self, latents: jnp.ndarray, rng=None,
+                       flow_reverse: bool = False) -> np.ndarray:
+        """latents (B, T, d) -> host audio (B, C, T_audio).
+
+        flow_reverse (melvae only): the AR model predicts FLOW-space
+        latents; invert the residual-coupling flow before the decoder
+        (ref backup/model copy.py:179-183 applies flow(reverse=True) to
+        each sampled latent)."""
         latents = jnp.asarray(latents, getattr(self, "_dtype", jnp.float32))
         if self.kind == "sigma":
             return np.asarray(sigmavae.decode(self.params, self.cfg, latents))
@@ -59,8 +72,11 @@ class Codec:
             return np.asarray(oobleck.decode(self.params, self.cfg, z))
         if self.kind == "melvae":
             z = jnp.transpose(latents, (0, 2, 1))
+            if flow_reverse:
+                z = melvae.flow(self.params, self.cfg, z, reverse=True)
             return np.asarray(melvae.inference_from_latents(
-                self.params, self.cfg, z, rng or jax.random.key(0),
+                self.params, self.cfg, z,
+                rng if rng is not None else jax.random.key(0),
                 do_sample=False))
         raise ValueError(self.kind)
 
@@ -110,11 +126,15 @@ class InferTools:
         ckpt_name: str = "ckpt",
         timestamp: bool = True,
         seed: int = 0,
+        flow_reverse: bool = False,
     ):
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
         self.codec = codec
+        # melvae flow-space LMs: invert the coupling flow on generated
+        # latents before decoding (ref backup/model copy.py:179-183)
+        self.flow_reverse = flow_reverse
         self.rng = jax.random.key(seed)
         name = f"{version}-{ckpt_name}"
         if timestamp:
@@ -142,7 +162,8 @@ class InferTools:
         )
         n = int(res.n_frames[0])
         lat = self._latents_for_decode(res, slice(0, max(n, 1)))
-        audio = self.codec.decode_latents(lat, self._next_rng())
+        audio = self.codec.decode_latents(lat, self._next_rng(),
+                                          flow_reverse=self.flow_reverse)
         return audio[0]
 
     def _latents_for_decode(self, res, sl,
@@ -160,21 +181,80 @@ class InferTools:
                                                   mean.dtype)
         return mean
 
+    # ---- batched synthesis ----
+
+    PROMPT_BUCKETS = (16, 32, 64, 128, 256, 512)
+
+    def synthesize_batch(
+        self,
+        texts: Sequence[str],
+        max_frames: int = 200,
+        batch_size: int = 8,
+        prompt_buckets: Sequence[int] = PROMPT_BUCKETS,
+    ) -> List[np.ndarray]:
+        """Batched text -> audio, packed into left-padded prompt-length
+        buckets: one `generate` compile per (bucket, batch_size) pair
+        regardless of how many distinct prompt lengths arrive — the TPU
+        equivalent of the reference's padded batch inference
+        (ref tools/batch_infer.py:72-77). Short groups are padded by
+        repeating a row (discarded on output), so batch shape stays static.
+
+        Returns audio arrays (C, T_i) aligned with `texts`, each trimmed to
+        its own generated frame count.
+        """
+        ids_list = [np.asarray(build_prompt_ids(self.tokenizer, t), np.int32)
+                    for t in texts]
+        order = sorted(range(len(texts)), key=lambda i: len(ids_list[i]))
+        out: List[Optional[np.ndarray]] = [None] * len(texts)
+        spf = self.codec.samples_per_frame
+
+        for g0 in range(0, len(order), batch_size):
+            group = order[g0:g0 + batch_size]
+            max_len = max(len(ids_list[i]) for i in group)
+            bucket = next((bk for bk in prompt_buckets if bk >= max_len),
+                          max_len)
+            rows = group + [group[-1]] * (batch_size - len(group))
+            ids = np.zeros((batch_size, bucket), np.int32)
+            mask = np.zeros((batch_size, bucket), np.int32)
+            for r, i in enumerate(rows):
+                n = len(ids_list[i])
+                ids[r, bucket - n:] = ids_list[i]  # LEFT padding
+                mask[r, bucket - n:] = 1
+
+            res = generate(self.params, self.cfg, jnp.asarray(ids),
+                           jnp.asarray(mask), self._next_rng(),
+                           max_frames=max_frames)
+            lat = self._latents_for_decode(res, slice(0, max_frames))
+            audio = self.codec.decode_latents(lat, self._next_rng(),
+                                              flow_reverse=self.flow_reverse)
+            n_frames = np.asarray(res.n_frames)
+            for r, i in enumerate(group):
+                n = max(int(n_frames[r]), 1)
+                out[i] = np.asarray(audio[r, :, :n * spf])
+        return out  # type: ignore[return-value]
+
     # ---- batch over a jsonl test set ----
 
     def infer_jsonl(self, meta_path_or_rows, max_frames: int = 200,
                     copysyn: bool = True, limit: Optional[int] = None,
                     caption_keys: Sequence[str] = ("AudioSetCaps", "caption",
-                                                   "text")) -> List[str]:
+                                                   "text"),
+                    batch_size: int = 8) -> List[str]:
+        """Write {utt}.txt / {utt}---copysyn.wav / {utt}---gen.wav per row.
+        Generation runs batched through length-bucketed `synthesize_batch`
+        (ref tools/batch_infer.py batches prompts the same way); copysyn
+        stays per-row because ground-truth latent lengths vary freely."""
         rows = (read_jsonl(meta_path_or_rows)
                 if isinstance(meta_path_or_rows, str) else list(meta_path_or_rows))
         if limit:
             rows = rows[:limit]
-        written = []
         sr = self.codec.sample_rate
-        for row in rows:
-            utt = str(row.get("id", len(written)))
+        utts, texts, copysyn_paths = [], [], {}
+        for idx, row in enumerate(rows):
+            utt = str(row.get("id", idx))
             text = next(str(row[k]) for k in caption_keys if row.get(k))
+            utts.append(utt)
+            texts.append(text)
 
             with open(os.path.join(self.output_dir, f"{utt}.txt"), "w") as f:
                 f.write(text)
@@ -192,9 +272,14 @@ class InferTools:
                 audio = self.codec.decode_latents(lat, self._next_rng())
                 p = os.path.join(self.output_dir, f"{utt}---copysyn.wav")
                 write_wav(p, audio[0], sr)
-                written.append(p)
+                copysyn_paths[utt] = p
 
-            audio = self.synthesize(text, max_frames=max_frames)
+        gens = self.synthesize_batch(texts, max_frames=max_frames,
+                                     batch_size=batch_size)
+        written = []
+        for utt, audio in zip(utts, gens):
+            if utt in copysyn_paths:
+                written.append(copysyn_paths[utt])
             p = os.path.join(self.output_dir, f"{utt}---gen.wav")
             write_wav(p, audio, sr)
             written.append(p)

@@ -1,0 +1,324 @@
+"""Continuous-batching serving loop over the KV-cached decoder.
+
+The reference serves one request at a time (infer_single / gradio demo,
+ref infer_backup/infer_single_nos.py); tools/batch_infer.py batches a fixed
+set of prompts. This module goes further — the natural TPU serving design:
+a fixed-B decode batch where finished rows are refilled with NEW prompts
+mid-decode, so the MXU never idles while requests queue.
+
+Design (static shapes, two compiled graphs + one per prompt bucket):
+  * decode_step: steps ALL B rows one frame; each row writes its KV at its
+    own slot (per-row scatter, not the shared-scalar slot of
+    llama.forward_with_cache) and carries its own RoPE position.
+  * prefill (per prompt-length bucket): runs the prompt through the
+    backbone with a fresh single-row cache, then `insert` splices the row
+    cache + hidden into the batch state at a free row index.
+  * the host loop admits pending prompts into free rows, steps, and
+    harvests rows whose end-detector fired (KL(pred || N(1, e))/d < thres
+    after min_frames, ref model.py:138-144) or that hit max_frames.
+
+Semantics match infer/generate.py: the last emitted frame is discarded
+(ref model_sigmaVAE.py:147), sigma rows decode their SAMPLED latents.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Iterable, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import LlasaConfig
+from ..models.lm import llama, llasa
+from ..ops.attention import mha
+from ..ops.quant import maybe_matmul
+from .generate import _head_step
+
+
+class ServeState(NamedTuple):
+    k: jnp.ndarray            # (L, B, C, n_kv, hd)
+    v: jnp.ndarray            # (L, B, C, n_kv, hd)
+    valid: jnp.ndarray        # (B, C) bool — attendable cache slots
+    length: jnp.ndarray       # (B,) int32 — next write slot per row
+    pos: jnp.ndarray          # (B,) int32 — next local RoPE position
+    last_hidden: jnp.ndarray  # (B, 1, h)
+    means: jnp.ndarray        # (B, max_frames, d)
+    logs: jnp.ndarray         # (B, max_frames, d)
+    samples: jnp.ndarray      # (B, max_frames, d)
+    n_frames: jnp.ndarray     # (B,) int32
+    done: jnp.ndarray         # (B,) bool
+    active: jnp.ndarray       # (B,) bool — row holds a live request
+
+
+def init_state(cfg: LlasaConfig, batch_size: int, cache_len: int,
+               max_frames: int) -> ServeState:
+    lcfg = cfg.llama
+    dt = jnp.dtype(lcfg.dtype)
+    kv = (lcfg.num_layers, batch_size, cache_len, lcfg.num_kv_heads,
+          lcfg.head_dim)
+    d = cfg.latent_dim
+    return ServeState(
+        k=jnp.zeros(kv, dt), v=jnp.zeros(kv, dt),
+        valid=jnp.zeros((batch_size, cache_len), bool),
+        length=jnp.zeros((batch_size,), jnp.int32),
+        pos=jnp.zeros((batch_size,), jnp.int32),
+        last_hidden=jnp.zeros((batch_size, 1, lcfg.hidden_size), dt),
+        means=jnp.zeros((batch_size, max_frames, d), dt),
+        logs=jnp.zeros((batch_size, max_frames, d), dt),
+        samples=jnp.zeros((batch_size, max_frames, d), dt),
+        n_frames=jnp.zeros((batch_size,), jnp.int32),
+        done=jnp.zeros((batch_size,), bool),
+        active=jnp.zeros((batch_size,), bool),
+    )
+
+
+# ---------------------------------------------------------------------------
+# prefill + insert
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def prefill(params: dict, cfg: LlasaConfig, ids: jnp.ndarray,
+            mask: jnp.ndarray):
+    """LEFT-padded (1, bucket) prompt -> (row_k, row_v, hidden, n_tokens).
+    One compile per bucket length."""
+    lcfg = cfg.llama
+    b, tp = ids.shape
+    embeds = llama.embed_tokens(params["llama"], ids, lcfg)
+    embeds = embeds * mask[..., None].astype(embeds.dtype)
+    n_pads = (tp - mask.sum(axis=1)).astype(jnp.int32)
+    positions = jnp.maximum(jnp.arange(tp)[None, :] - n_pads[:, None], 0)
+    cache = llama.KVCache.zeros(lcfg, b, tp, dtype=jnp.dtype(lcfg.dtype))
+    valid = mask.astype(bool)
+    hidden, cache = llama.forward_with_cache(
+        params["llama"], lcfg, embeds, cache, attention_mask=valid,
+        positions=positions)
+    return cache.k, cache.v, hidden[:, -1:, :], mask.sum(axis=1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("max_frames",), donate_argnums=(0,))
+def insert(state: ServeState, row: jnp.ndarray, row_k: jnp.ndarray,
+           row_v: jnp.ndarray, hidden: jnp.ndarray, mask: jnp.ndarray,
+           n_tokens: jnp.ndarray, max_frames: int) -> ServeState:
+    """Splice a prefilled request into batch row `row`. The prompt occupies
+    slots [0, bucket); generation continues at slot `bucket`."""
+    bucket = row_k.shape[2]
+    C = state.k.shape[2]
+    k = jax.lax.dynamic_update_slice(state.k, row_k.astype(state.k.dtype),
+                                     (0, row, 0, 0, 0))
+    v = jax.lax.dynamic_update_slice(state.v, row_v.astype(state.v.dtype),
+                                     (0, row, 0, 0, 0))
+    row_valid = jnp.zeros((1, C), bool).at[:, :bucket].set(mask.astype(bool))
+    valid = jax.lax.dynamic_update_slice(state.valid, row_valid, (row, 0))
+    d = state.means.shape[-1]
+    zeros_f = jnp.zeros((1, max_frames, d), state.means.dtype)
+    return state._replace(
+        k=k, v=v, valid=valid,
+        length=state.length.at[row].set(bucket),
+        pos=state.pos.at[row].set(n_tokens[0]),
+        last_hidden=jax.lax.dynamic_update_slice(
+            state.last_hidden, hidden.astype(state.last_hidden.dtype),
+            (row, 0, 0)),
+        means=jax.lax.dynamic_update_slice(state.means, zeros_f, (row, 0, 0)),
+        logs=jax.lax.dynamic_update_slice(state.logs, zeros_f, (row, 0, 0)),
+        samples=jax.lax.dynamic_update_slice(state.samples, zeros_f,
+                                             (row, 0, 0)),
+        n_frames=state.n_frames.at[row].set(0),
+        done=state.done.at[row].set(False),
+        active=state.active.at[row].set(True),
+    )
+
+
+# ---------------------------------------------------------------------------
+# decode step (per-row slots)
+# ---------------------------------------------------------------------------
+
+def _decode_layer(cfg, x, lp, cos, sin, k_c, v_c, lengths, mask):
+    """x (B,1,h); k_c/v_c (B,C,nkv,hd); writes each row's new KV at its own
+    slot (scatter over rows) — the continuous-batching variant of
+    llama._layer."""
+    dt = x.dtype
+    B = x.shape[0]
+    nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    attn_in = llama.rms_norm(x, lp["attn_norm"].astype(dt), cfg.rms_norm_eps)
+    q = maybe_matmul(attn_in, lp["wq"]).reshape(B, 1, nq, hd)
+    k = maybe_matmul(attn_in, lp["wk"]).reshape(B, 1, nkv, hd)
+    v = maybe_matmul(attn_in, lp["wv"]).reshape(B, 1, nkv, hd)
+    q = llama.apply_rope(q, cos, sin)
+    k = llama.apply_rope(k, cos, sin)
+
+    rows = jnp.arange(B)
+    # frozen rows overwrite their own slot harmlessly (masked out of valid)
+    k_c = k_c.at[rows, lengths].set(k[:, 0].astype(k_c.dtype))
+    v_c = v_c.at[rows, lengths].set(v[:, 0].astype(v_c.dtype))
+    attn = mha(q, k_c, v_c, mask)
+
+    x = x + maybe_matmul(attn.reshape(B, 1, nq * hd), lp["wo"])
+    mlp_in = llama.rms_norm(x, lp["mlp_norm"].astype(dt), cfg.rms_norm_eps)
+    gate = jax.nn.silu(maybe_matmul(mlp_in, lp["wg"]))
+    up = maybe_matmul(mlp_in, lp["wu"])
+    x = x + maybe_matmul(gate * up, lp["wd"])
+    return x, (k_c, v_c)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "greedy"),
+                   donate_argnums=(1,))
+def decode_step(params: dict, state: ServeState, cfg: LlasaConfig,
+                rng: jax.Array, greedy: bool = False) -> ServeState:
+    """One frame for every live row; finished/empty rows are frozen."""
+    lcfg = cfg.llama
+    dt = jnp.dtype(lcfg.dtype)
+    B = state.k.shape[1]
+    max_frames = state.means.shape[1]
+
+    live = jnp.logical_and(state.active, ~state.done)
+    mean, logs, sample = _head_step(cfg, params, state.last_hidden, rng,
+                                    greedy)
+
+    kl = llasa.end_kl(cfg, mean, jnp.exp(logs.astype(jnp.float32)))[:, 0]
+    fi = jnp.minimum(state.n_frames, max_frames - 1)
+    rows = jnp.arange(B)
+    sel = live[:, None]
+    means = state.means.at[rows, fi].set(
+        jnp.where(sel, mean[:, 0], state.means[rows, fi]))
+    logs_b = state.logs.at[rows, fi].set(
+        jnp.where(sel, logs[:, 0], state.logs[rows, fi]))
+    samples = state.samples.at[rows, fi].set(
+        jnp.where(sel, sample[:, 0], state.samples[rows, fi]))
+    n_frames = state.n_frames + live.astype(jnp.int32)
+
+    newly_done = jnp.logical_and(kl < cfg.end_kl_threshold,
+                                 state.n_frames >= cfg.min_frames)
+    newly_done = jnp.logical_or(newly_done, n_frames >= max_frames)
+    done = jnp.logical_or(state.done, jnp.logical_and(live, newly_done))
+
+    # next-token forward for live rows
+    a_embed = llasa.audio_proj(params, sample, dt)
+    valid = state.valid.at[rows, state.length].set(
+        jnp.logical_or(state.valid[rows, state.length], live))
+    mask = valid[:, None, None, :]  # (B,1,1,C)
+    cos, sin = llama.rope_cos_sin(lcfg, state.pos[:, None])
+
+    def body(x, layer_in):
+        lp, k_c, v_c = layer_in
+        x, (k_c, v_c) = _decode_layer(lcfg, x, lp, cos, sin, k_c, v_c,
+                                      state.length, mask)
+        return x, (k_c, v_c)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        body, a_embed.astype(dt), (params["llama"]["layers"], state.k, state.v))
+    x = llama.rms_norm(x, params["llama"]["final_norm"].astype(dt),
+                       lcfg.rms_norm_eps)
+    last_hidden = jnp.where(live[:, None, None], x, state.last_hidden)
+
+    return state._replace(
+        k=new_k, v=new_v, valid=valid,
+        length=state.length + live.astype(jnp.int32),
+        pos=state.pos + live.astype(jnp.int32),
+        last_hidden=last_hidden,
+        means=means, logs=logs_b, samples=samples,
+        n_frames=n_frames, done=done,
+    )
+
+
+# ---------------------------------------------------------------------------
+# host loop
+# ---------------------------------------------------------------------------
+
+class Completion(NamedTuple):
+    index: int                 # position in the submitted prompt sequence
+    means: np.ndarray          # (n, d)
+    log_scales: np.ndarray     # (n, d)
+    samples: np.ndarray        # (n, d)
+    n_frames: int              # valid frames (last frame discarded)
+    steps_waited: int          # decode steps from admission to completion
+
+
+class ContinuousBatcher:
+    """Admit prompts into free rows of a persistent decode batch.
+
+    Compiles: one decode_step, one insert, one prefill per prompt bucket.
+    """
+
+    def __init__(self, params: dict, cfg: LlasaConfig, batch_size: int = 8,
+                 max_frames: int = 200,
+                 prompt_buckets: Sequence[int] = (16, 32, 64, 128),
+                 seed: int = 0, greedy: bool = False):
+        self.greedy = greedy
+        self.params = params
+        self.cfg = cfg
+        self.B = batch_size
+        self.max_frames = max_frames
+        self.buckets = tuple(sorted(prompt_buckets))
+        cache_len = self.buckets[-1] + max_frames + 1
+        self.state = init_state(cfg, batch_size, cache_len, max_frames)
+        self.rng = jax.random.key(seed)
+        self.row_req: List[Optional[int]] = [None] * batch_size
+        self.row_admit_step: List[int] = [0] * batch_size
+        self.step_count = 0
+
+    def _bucket(self, n: int) -> int:
+        for bk in self.buckets:
+            if bk >= n:
+                return bk
+        raise ValueError(f"prompt length {n} exceeds largest bucket "
+                         f"{self.buckets[-1]}")
+
+    def _admit(self, row: int, req_idx: int, ids: np.ndarray) -> None:
+        bk = self._bucket(len(ids))
+        buf = np.zeros((1, bk), np.int32)
+        msk = np.zeros((1, bk), np.int32)
+        buf[0, bk - len(ids):] = ids
+        msk[0, bk - len(ids):] = 1
+        rk, rv, hid, ntok = prefill(self.params, self.cfg, jnp.asarray(buf),
+                                    jnp.asarray(msk))
+        self.state = insert(self.state, jnp.int32(row), rk, rv, hid,
+                            jnp.asarray(msk), ntok,
+                            max_frames=self.max_frames)
+        self.row_req[row] = req_idx
+        self.row_admit_step[row] = self.step_count
+
+    def _harvest(self) -> List[Completion]:
+        """Pull finished rows off the device and free them."""
+        done = np.asarray(self.state.done)
+        active = np.asarray(self.state.active)
+        out = []
+        for r in range(self.B):
+            if not (active[r] and done[r]):
+                continue
+            n_emitted = int(np.asarray(self.state.n_frames[r]))
+            n = max(n_emitted - 1, 0)  # discard-last (model_sigmaVAE.py:147)
+            out.append(Completion(
+                index=self.row_req[r],
+                means=np.asarray(self.state.means[r, :n], np.float32),
+                log_scales=np.asarray(self.state.logs[r, :n], np.float32),
+                samples=np.asarray(self.state.samples[r, :n], np.float32),
+                n_frames=n,
+                steps_waited=self.step_count - self.row_admit_step[r],
+            ))
+            self.state = self.state._replace(
+                active=self.state.active.at[r].set(False))
+            self.row_req[r] = None
+        return out
+
+    def run(self, prompts: Iterable[np.ndarray]) -> List[Completion]:
+        """prompts: iterable of int32 token-id arrays. Returns completions
+        (one per prompt, completion order; .index maps back)."""
+        pending = list(enumerate(prompts))
+        pending.reverse()  # pop() takes them in submission order
+        results: List[Completion] = []
+        n_total = len(pending)
+
+        while len(results) < n_total:
+            active = np.asarray(self.state.active)
+            free = [r for r in range(self.B) if not active[r]]
+            while pending and free:
+                idx, ids = pending.pop()
+                self._admit(free.pop(0), idx, np.asarray(ids, np.int32))
+            self.rng, k = jax.random.split(self.rng)
+            self.state = decode_step(self.params, self.state, self.cfg, k,
+                                     greedy=self.greedy)
+            self.step_count += 1
+            results.extend(self._harvest())
+        return results

@@ -98,8 +98,8 @@ def stream_generate(
         s["steps"] = s["steps"] + live.astype(jnp.int32)
 
         kl = llasa.end_kl(cfg, mean, jnp.exp(logs.astype(jnp.float32)))[:, 0]
-        s["done"] = jnp.logical_or(s["done"],
-                                   jnp.logical_and(kl < thres, i > 3))
+        s["done"] = jnp.logical_or(
+            s["done"], jnp.logical_and(kl < thres, i >= cfg.min_frames))
 
         # next embed = text[t_warm + 1 + i] + audio_embed(sample)
         txt_idx = jnp.minimum(t_warm + 1 + i, t_text - 1)

@@ -504,7 +504,8 @@ def flow(params, cfg: MelVAEConfig, z: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def forward(params, cfg: MelVAEConfig, wav: jnp.ndarray, rng: jax.Array):
     """Training forward (flows.py:457-493): encode -> sample -> flow(z) ->
-    decode. Returns (wav_hat, (z_p, logs_q))."""
+    decode. Returns (wav_hat, (z_p, m_q, logs_q)) — the posterior mean is
+    returned directly so the KL term never re-runs the encoder."""
     x = jnp.transpose(wav, (0, 2, 1))
     enc = _encoder_nwc(params["encoder"], cfg, x)
     m_q, logs_q = enc[..., :cfg.latent_dim], enc[..., cfg.latent_dim:]
@@ -513,4 +514,5 @@ def forward(params, cfg: MelVAEConfig, wav: jnp.ndarray, rng: jax.Array):
     y = _decoder_nwc(params, cfg, z)
     return (jnp.transpose(y, (0, 2, 1)),
             (jnp.transpose(z_p, (0, 2, 1)),
+             jnp.transpose(m_q, (0, 2, 1)),
              jnp.transpose(logs_q, (0, 2, 1))))

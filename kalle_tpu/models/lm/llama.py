@@ -132,11 +132,11 @@ def embed_tokens(params: dict, input_ids: jnp.ndarray, cfg: LlamaConfig) -> jnp.
 # ---------------------------------------------------------------------------
 
 def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, cache_kv=None,
-           cache_len=None, flash_pad_mask=None):
+           cache_len=None, flash_pad_mask=None, flash_interpret=False):
     """One transformer block. cache_kv: optional (k_cache, v_cache) with
     static max_len; returns (x_out, (new_k_entry, new_v_entry)).
     flash_pad_mask: when set (b, t), attention runs through the Pallas
-    flash kernel instead of the XLA path (forward-only)."""
+    flash kernel (differentiable — custom VJP) instead of the XLA path."""
     dt = jnp.dtype(cfg.dtype)
     b, t, h = x.shape
     nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -153,7 +153,8 @@ def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, cache_kv=None,
     if flash_pad_mask is not None and cache_kv is None:
         from ...ops.pallas.flash_attention import flash_attention
 
-        attn = flash_attention(q, k, v, flash_pad_mask)
+        attn = flash_attention(q, k, v, flash_pad_mask,
+                               interpret=flash_interpret)
         x = x + maybe_matmul(attn.reshape(b, t, nq * hd), lp["wo"])
         mlp_in = rms_norm(x, lp["mlp_norm"].astype(dt), cfg.rms_norm_eps)
         gate = jax.nn.silu(maybe_matmul(mlp_in, lp["wg"]))
@@ -187,20 +188,27 @@ def forward(
     cfg: LlamaConfig,
     inputs_embeds: jnp.ndarray,  # (b, t, h)
     attention_mask: jnp.ndarray,  # (b, t) 1 = real
-    use_flash: bool = False,
+    use_flash: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Full-sequence forward -> final hidden states (b, t, h).
     Equivalent of `base_model.model(inputs_embeds, attention_mask)[0]`
-    (ref: model_sigmaVAE.py:78-81). use_flash routes attention through the
-    Pallas kernel (forward-only; t must be a multiple of 128)."""
+    (ref: model_sigmaVAE.py:78-81).
+
+    use_flash: None (default) follows cfg.use_flash_attention on TPU and is
+    off on CPU; an explicit True on CPU runs the Pallas kernel in interpret
+    mode (slow — test use only). Flash needs t % 128 == 0 (every batch
+    bucket satisfies this, core/config.py length_buckets); t is never sp-
+    sharded inside the kernel because flash runs per-(b, head) rows and the
+    sp constraint applies between layers."""
     dt = jnp.dtype(cfg.dtype)
     x = inputs_embeds.astype(dt)
     b, t, _ = x.shape
     positions = jnp.arange(t)
     cos, sin = rope_cos_sin(cfg, positions)
-    # the Pallas kernel is TPU-only (CPU tests exercise it in interpret mode
-    # directly; inside scan the CPU backend cannot lower it)
-    flash_ok = use_flash and t % 128 == 0 and jax.default_backend() != "cpu"
+    on_cpu = jax.default_backend() == "cpu"
+    if use_flash is None:
+        use_flash = cfg.use_flash_attention and not on_cpu
+    flash_ok = use_flash and t % 128 == 0
     flash_pad = attention_mask if flash_ok else None
     mask = None if flash_pad is not None else make_causal_padding_mask(
         attention_mask, t)
@@ -209,7 +217,8 @@ def forward(
 
     def body(x, lp):
         x = activation_seq_constraint(x)  # sequence parallelism (sp axis)
-        x, _ = _layer(cfg, x, lp, cos, sin, mask, flash_pad_mask=flash_pad)
+        x, _ = _layer(cfg, x, lp, cos, sin, mask, flash_pad_mask=flash_pad,
+                      flash_interpret=on_cpu)
         return x, None
 
     if cfg.remat:

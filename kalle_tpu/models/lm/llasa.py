@@ -104,6 +104,7 @@ def forward(
     batch: Dict[str, jnp.ndarray],
     rng: Optional[jax.Array] = None,
     latent_noise: Optional[jnp.ndarray] = None,
+    use_flash: Optional[bool] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Training forward. batch keys (collate layout, ref
     twj_dataset_offline.py:327-386):
@@ -136,7 +137,8 @@ def forward(
                    + text_embed * ids_mask[..., None])
     attention_mask = batch["ids_mask"].astype(jnp.int32) + batch["audio_mask"].astype(jnp.int32)
 
-    hidden = llama.forward(params["llama"], cfg.llama, input_embed, attention_mask)
+    hidden = llama.forward(params["llama"], cfg.llama, input_embed,
+                           attention_mask, use_flash=use_flash)
     head_out = distribution_head(params, hidden, dt)
 
     if cfg.head_variant == "sigma":

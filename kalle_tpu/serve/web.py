@@ -57,11 +57,14 @@ def make_synthesize_fn(infer_tools, max_frames: int = 200) -> Callable:
             from ..utils.audio import resample_linear
 
             wav = resample_linear(wav, sr, infer_tools.codec.sample_rate)
-            z = infer_tools.codec.encode_audio(jnp.asarray(wav[None]))
-            prompt_latents = np.asarray(z)[0]
-            if prompt_latents.shape[0] != prompt_latents.shape[-1] and \
-                    prompt_latents.shape[0] > prompt_latents.shape[-1]:
-                pass  # already (T, d)
+            z = np.asarray(infer_tools.codec.encode_audio(jnp.asarray(wav[None])))[0]
+            if infer_tools.codec.kind == "sigma":
+                prompt_latents = z  # sigma encode is already (T, d)
+            else:
+                # stableaudio/melvae encode is channel-first (2d, T)
+                # mean||scale: prompt-condition on the means, time-first
+                d = infer_tools.cfg.latent_dim
+                prompt_latents = z[:d].T
         audio = infer_tools.synthesize(text, max_frames=max_frames,
                                        prompt_latents=prompt_latents)
         sr = infer_tools.codec.sample_rate

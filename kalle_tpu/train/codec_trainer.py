@@ -54,13 +54,9 @@ def make_state(gen_params, disc_params, gen_tx, disc_tx) -> CodecTrainState:
 def _reconstruct(kind: str, cfg, params, wav, rng):
     """-> (wav_hat, kl_loss). wav (B, 1, T)."""
     if kind == "melvae":
-        wav_hat, (_, logs_q) = melvae.forward(params, cfg, wav, rng)
-        # KL uses q's mean/logs: re-extract the stack (cheap encoder reuse
-        # is fused by XLA since forward already computed it under jit CSE)
-        stack = melvae.extract_latents(params, cfg, wav)
-        d = cfg.latent_dim
-        kl = vae_kl_loss(jnp.transpose(stack[:, :d], (0, 2, 1)),
-                         jnp.transpose(stack[:, d:], (0, 2, 1)))
+        wav_hat, (_, m_q, logs_q) = melvae.forward(params, cfg, wav, rng)
+        kl = vae_kl_loss(jnp.transpose(m_q, (0, 2, 1)),
+                         jnp.transpose(logs_q, (0, 2, 1)))
         return wav_hat, kl
     if kind == "sigma":
         z = sigmavae.encode(params, cfg, wav)

@@ -23,6 +23,7 @@ from ..core.config import ExperimentConfig
 from ..data.collate import pad_batch_rows
 from ..data.datasets import OfflineLatentDataset, PrefetchLoader
 from ..models.lm import llasa
+from ..parallel import multihost
 from ..parallel.mesh import make_mesh, shard_batch, shard_params
 from .metrics import MetricsWriter
 from .optim import make_optimizer
@@ -40,6 +41,11 @@ class Trainer:
         self.tcfg = exp.train
         self.tokenizer = tokenizer
         self.eval_hook = eval_hook
+
+        # multi-host: jax.distributed rendezvous (no-op on single host);
+        # every host runs this same program and feeds its own data shard
+        multihost.initialize()
+        self.process_index, self.process_count = multihost.process_info()
 
         os.makedirs(exp.output_dir, exist_ok=True)
         os.makedirs(exp.log_dir, exist_ok=True)
@@ -84,6 +90,14 @@ class Trainer:
 
     def _device_batch(self, np_batch: Dict[str, np.ndarray]):
         dp = self.mesh.shape["dp"]
+        if self.process_count > 1:
+            # each host holds 1/process_count of the global batch; pad rows
+            # to the host-local dp extent, then assemble the global array
+            local_dp = max(1, dp // self.process_count)
+            np_batch = pad_batch_rows(np_batch, local_dp,
+                                      self.tokenizer.pad_token_id)
+            b = {k: np_batch[k] for k in BATCH_KEYS}
+            return multihost.host_local_to_global(b, self.mesh)
         np_batch = pad_batch_rows(np_batch, dp, self.tokenizer.pad_token_id)
         b = {k: jnp.asarray(np_batch[k]) for k in BATCH_KEYS}
         return shard_batch(b, self.mesh)
@@ -97,7 +111,10 @@ class Trainer:
         dataset = OfflineLatentDataset(
             exp.data.meta_path, self.tokenizer,
             latent_kind=exp.data.latent_kind, seed=tcfg.seed,
-            max_length=exp.data.max_length)
+            max_length=exp.data.max_length,
+            # per-host data sharding (each host reads its own slice)
+            shard_index=self.process_index,
+            shard_count=self.process_count)
         loader = PrefetchLoader(
             dataset, self.tokenizer.pad_token_id,
             max_token_length=exp.data.max_token_length,
@@ -132,17 +149,20 @@ class Trainer:
                         dt = time.time() - t_last
                         t_last = time.time()
                         m["steps_per_s"] = tcfg.log_interval / max(dt, 1e-9)
-                        self.metrics.log(step, m)
-                        line = (f"{time.ctime()}: Epoch:{epoch}, Step:{step}, "
-                                f"batch_size:{np_batch['input_ids'].shape[0]}, "
-                                f"total_loss:{m['total_loss']:.5f}, "
-                                f"audio_loss:{m['audio_loss']:.5f}, "
-                                f"end_loss:{m['end_loss']:.5f}")
-                        print(line)
-                        self.metrics.text_log(line)
                         last_metrics = m
-                        if self.eval_hook is not None:
-                            self.eval_hook(self, step, np_batch)
+                        if multihost.is_main_process():
+                            # log on main host only (accelerate
+                            # is_main_process parity, ref train_offline.py:262)
+                            self.metrics.log(step, m)
+                            line = (f"{time.ctime()}: Epoch:{epoch}, Step:{step}, "
+                                    f"batch_size:{np_batch['input_ids'].shape[0]}, "
+                                    f"total_loss:{m['total_loss']:.5f}, "
+                                    f"audio_loss:{m['audio_loss']:.5f}, "
+                                    f"end_loss:{m['end_loss']:.5f}")
+                            print(line)
+                            self.metrics.text_log(line)
+                            if self.eval_hook is not None:
+                                self.eval_hook(self, step, np_batch)
 
                     if step % tcfg.save_interval == 0:
                         self.ckpt.save(step, jax.device_get(self.state))

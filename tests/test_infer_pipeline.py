@@ -56,6 +56,65 @@ def test_infer_jsonl_end_to_end(setup):
     assert gen.shape[-1] == 7 * codec.cfg.hop
 
 
+def test_synthesize_batch_bucketed_compiles(setup):
+    """Mixed prompt lengths pack into left-padded buckets: one generate
+    compile per (bucket, batch) pair, outputs aligned with input order and
+    trimmed per-row (ref tools/batch_infer.py:72-77)."""
+    tok, cfg, params, codec, meta, tmp_path = setup
+    from kalle_tpu.infer import generate as gen_mod
+
+    it = InferTools(cfg, params, tok, codec,
+                    output_root=str(tmp_path / "out2"), timestamp=False)
+    texts = ["hi", "a slightly longer caption here", "x", "medium one ok",
+             "tiny", "another short", "yet another short text"]
+    # expected compiles = distinct (bucket, batch) pairs after packing
+    from kalle_tpu.data.tokens import build_prompt_ids
+
+    lens = [len(build_prompt_ids(tok, t)) for t in texts]
+    order = sorted(range(len(texts)), key=lambda i: lens[i])
+    groups = [order[i:i + 4] for i in range(0, len(order), 4)]
+    expect = len({next(bk for bk in (16, 32)
+                       if bk >= max(lens[i] for i in g)) for g in groups})
+    before = gen_mod.generate._cache_size()
+    outs = it.synthesize_batch(texts, max_frames=8, batch_size=4,
+                               prompt_buckets=(16, 32))
+    after = gen_mod.generate._cache_size()
+    assert after - before == expect, (before, after, expect)
+    assert len(outs) == len(texts)
+    spf = codec.samples_per_frame
+    for a in outs:
+        assert a.ndim == 2 and a.shape[-1] == 7 * spf  # sigma: no early stop
+        assert np.isfinite(a).all()
+
+    # determinism of packing: same call again adds no compiles
+    it.synthesize_batch(texts[:3], max_frames=8, batch_size=4,
+                        prompt_buckets=(16, 32))
+    assert gen_mod.generate._cache_size() == after
+
+
+def test_min_frames_gates_early_stop():
+    """cfg.min_frames drives the stop gate (was hardcoded i > 3)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from kalle_tpu.infer.generate import generate
+
+    base = LlasaConfig(llama=LlamaConfig.tiny(vocab_size=300), latent_dim=8,
+                       audio_proj_dim=64, head_variant="stableaudio")
+    params = llasa.init_params(base, jax.random.key(0))
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 300, (1, 8)),
+                      jnp.int32)
+    mask = jnp.ones((1, 8), jnp.int32)
+    for mf in (2, 6):
+        cfg = dataclasses.replace(base, min_frames=mf)
+        res = generate(params, cfg, ids, mask, jax.random.key(1),
+                       max_frames=16, end_kl_threshold=1e9)
+        # threshold huge -> stops at the first gated step i == min_frames;
+        # steps = min_frames + 1, n_frames discards the last frame
+        assert int(res.n_frames[0]) == mf, (mf, int(res.n_frames[0]))
+
+
 def test_wav_roundtrip(tmp_path):
     x = np.random.default_rng(0).normal(size=(2, 500)).astype(np.float32) * 0.5
     p = str(tmp_path / "t.wav")
