@@ -103,3 +103,25 @@ def test_sample_parity_semantics():
     assert s.shape == mean.shape
     assert 0.1 < float(jnp.std(s)) < 1.0
     assert np.allclose(np.asarray(sample(rng, mean, 0.5, "none")), 0)
+
+
+def test_gemm_blocks_match_plain():
+    """The dw-folded-into-up GEMM block is exactly equivalent math to the
+    depthwise + pointwise pair (small-channel layout fix, round-2)."""
+    import dataclasses
+
+    from kalle_tpu.models.codecs.sigmavae import SigmaVAEConfig, decode, encode, init_params
+
+    cfg_g = dataclasses.replace(SigmaVAEConfig.tiny(), gemm_blocks=True)
+    cfg_p = dataclasses.replace(SigmaVAEConfig.tiny(), gemm_blocks=False)
+    params = init_params(cfg_p, jax.random.key(0))
+    wav = jnp.asarray(np.random.default_rng(0).normal(size=(2, 1, 6 * cfg_p.hop)),
+                      jnp.float32)
+    np.testing.assert_allclose(np.asarray(encode(params, cfg_g, wav)),
+                               np.asarray(encode(params, cfg_p, wav)),
+                               rtol=1e-5, atol=1e-5)
+    z = jnp.asarray(np.random.default_rng(1).normal(size=(2, 6, cfg_p.latent_dim)),
+                    jnp.float32)
+    np.testing.assert_allclose(np.asarray(decode(params, cfg_g, z)),
+                               np.asarray(decode(params, cfg_p, z)),
+                               rtol=1e-5, atol=1e-5)
