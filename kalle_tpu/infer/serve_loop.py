@@ -222,6 +222,34 @@ def decode_step(params: dict, state: ServeState, cfg: LlasaConfig,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "greedy", "max_steps"),
+                   donate_argnums=(1,))
+def decode_until(params: dict, state: ServeState, cfg: LlasaConfig,
+                 rng: jax.Array, max_steps: int,
+                 greedy: bool = False):
+    """Run decode steps ON DEVICE until some row completes (needs host
+    harvesting) or `max_steps` elapse. One host round-trip per completion
+    instead of per frame — decisive over a remote-TPU tunnel, where each
+    fetch costs tens of ms."""
+
+    def harvestable(s):
+        return jnp.any(jnp.logical_and(s.active, s.done))
+
+    def cond(carry):
+        s, _, i = carry
+        live = jnp.any(jnp.logical_and(s.active, ~s.done))
+        return jnp.logical_and(i < max_steps,
+                               jnp.logical_and(~harvestable(s), live))
+
+    def body(carry):
+        s, r, i = carry
+        r, k = jax.random.split(r)
+        return decode_step(params, s, cfg, k, greedy=greedy), r, i + 1
+
+    state, rng, n = jax.lax.while_loop(cond, body, (state, rng, jnp.int32(0)))
+    return state, rng, n
+
+
 # ---------------------------------------------------------------------------
 # host loop
 # ---------------------------------------------------------------------------
@@ -302,23 +330,28 @@ class ContinuousBatcher:
             self.row_req[r] = None
         return out
 
-    def run(self, prompts: Iterable[np.ndarray]) -> List[Completion]:
-        """prompts: iterable of int32 token-id arrays. Returns completions
-        (one per prompt, completion order; .index maps back)."""
+    def run_iter(self, prompts: Iterable[np.ndarray]):
+        """prompts: iterable of int32 token-id arrays. Yields Completions
+        the moment their row finishes (completion order; .index maps back)."""
         pending = list(enumerate(prompts))
         pending.reverse()  # pop() takes them in submission order
-        results: List[Completion] = []
-        n_total = len(pending)
+        n_total, n_done = len(pending), 0
 
-        while len(results) < n_total:
+        while n_done < n_total:
             active = np.asarray(self.state.active)
             free = [r for r in range(self.B) if not active[r]]
             while pending and free:
                 idx, ids = pending.pop()
                 self._admit(free.pop(0), idx, np.asarray(ids, np.int32))
-            self.rng, k = jax.random.split(self.rng)
-            self.state = decode_step(self.params, self.state, self.cfg, k,
-                                     greedy=self.greedy)
-            self.step_count += 1
-            results.extend(self._harvest())
-        return results
+            # multi-step on-device decode: one host sync per completion,
+            # not per frame (remote-TPU fetches cost tens of ms each)
+            self.state, self.rng, n = decode_until(
+                self.params, self.state, self.cfg, self.rng,
+                max_steps=self.max_frames + 1, greedy=self.greedy)
+            self.step_count += int(n)
+            for c in self._harvest():
+                n_done += 1
+                yield c
+
+    def run(self, prompts: Iterable[np.ndarray]) -> List[Completion]:
+        return list(self.run_iter(prompts))

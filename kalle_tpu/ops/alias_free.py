@@ -44,8 +44,11 @@ def kaiser_sinc_filter1d(cutoff: float, half_width: float, kernel_size: int) -> 
 
 
 @functools.lru_cache(maxsize=None)
-def _up_filter(ratio: int, kernel_size: int):
-    return jnp.asarray(kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, kernel_size))
+def _up_filter(ratio: int, kernel_size: int) -> np.ndarray:
+    # cache NUMPY, not jnp: a jnp array materialized during a jit trace is a
+    # tracer, and caching it leaks it across traces (UnexpectedTracerError
+    # on the next trace — same bug class as the round-1 DFT basis cache)
+    return kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, kernel_size)
 
 
 def upsample1d(x: jnp.ndarray, ratio: int = 2) -> jnp.ndarray:

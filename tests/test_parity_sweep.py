@@ -167,3 +167,19 @@ def test_codec_decode_flow_reverse():
     back = melvae.flow(codec.params, codec.cfg,
                        melvae.flow(codec.params, codec.cfg, z, reverse=True))
     np.testing.assert_allclose(np.asarray(back), np.asarray(z), atol=1e-4)
+
+
+def test_alias_free_filter_cache_no_tracer_leak():
+    """The kaiser-sinc filter cache must hold numpy, not jnp: a jnp array
+    materialized during a jit trace is a tracer, and caching it poisons
+    every later trace (the order-dependent UnexpectedTracerError seen in
+    the round-2 full-suite run)."""
+    from kalle_tpu.ops import alias_free
+
+    alias_free._up_filter.cache_clear()
+    x = jnp.ones((1, 16, 3), jnp.float32)
+    jitted = jax.jit(lambda a: alias_free.upsample1d(a, 2))
+    jitted(x)  # populates the cache from INSIDE a trace
+    out = alias_free.upsample1d(x, 2)  # eager reuse must still work
+    assert np.isfinite(np.asarray(out)).all()
+    assert isinstance(alias_free._up_filter(2, 12), np.ndarray)

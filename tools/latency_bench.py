@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model (CPU smoke)")
     ap.add_argument("--platform", default="")
+    ap.add_argument("--continuous", type=int, default=0, metavar="N",
+                    help="continuous-batching curve: N requests through "
+                         "infer.serve_loop at batch sizes 1/2/4/8")
     args = ap.parse_args()
 
     if args.platform:
@@ -60,11 +63,44 @@ def main():
     params = jax.tree.map(lambda x: x.astype(dt), params)
 
     rng = np.random.default_rng(0)
+    frame_hz = codec.cfg.frame_rate
+
+    if args.continuous:
+        from kalle_tpu.infer.serve_loop import ContinuousBatcher
+
+        n_req = args.continuous
+        lens = rng.integers(8, 60, (n_req,))
+        prompts = [rng.integers(0, cfg.llama.vocab_size - 9, (l,))
+                   .astype(np.int32) for l in lens]
+        for bsz in (1, 2, 4, 8):
+            # warmup/compile on a fresh batcher (jit caches are module-level)
+            ContinuousBatcher(params, cfg, batch_size=bsz,
+                              max_frames=args.max_frames,
+                              prompt_buckets=(16, 32, 64)).run(prompts[:bsz])
+            cb = ContinuousBatcher(params, cfg, batch_size=bsz,
+                                   max_frames=args.max_frames,
+                                   prompt_buckets=(16, 32, 64))
+            t0 = time.perf_counter()
+            comps = cb.run(prompts)
+            dt = time.perf_counter() - t0
+            step_s = dt / max(cb.step_count, 1)
+            lats = sorted(c.steps_waited * step_s for c in comps)
+            frames = sum(c.n_frames for c in comps)
+            print(json.dumps({
+                "metric": "continuous_batching", "batch": bsz,
+                "requests": n_req,
+                "req_per_s": round(n_req / dt, 3),
+                "frames_per_s": round(frames / dt, 1),
+                "audio_s_per_wall_s": round(frames / frame_hz / dt, 3),
+                "p50_latency_s": round(lats[len(lats) // 2], 3),
+                "p95_latency_s": round(lats[int(len(lats) * 0.95)], 3),
+            }))
+        return
+
     B = args.batch
     ids = jnp.asarray(rng.integers(0, cfg.llama.vocab_size - 9, (B, 32)),
                       jnp.int32)
     mask = jnp.ones((B, 32), jnp.int32)
-    frame_hz = codec.cfg.frame_rate
 
     def first_chunk(key):
         res = generate(params, cfg, ids, mask, key,

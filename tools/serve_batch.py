@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Continuous-batching synthesis server (offline driver).
+
+Reads a jsonl of {"id", "caption"} rows, admits them into the persistent
+decode batch (infer/serve_loop.py), and writes each utterance's wav the
+moment its row completes — requests never wait for the whole batch. This is
+the high-throughput counterpart of tools/infer.py (one-shot test sets) and
+the reference's tools/batch_infer.py (fixed padded batch).
+
+Usage:
+  python tools/serve_batch.py -c cfg.yaml -i req.jsonl -o out \
+      [--batch 8] [-m 200] [--platform cpu]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-c", "--config", required=True)
+    ap.add_argument("-p", "--checkpoint", default="")
+    ap.add_argument("-i", "--input-jsonl", required=True)
+    ap.add_argument("-o", "--output-dir", default="serve_out")
+    ap.add_argument("-m", "--max-frames", type=int, default=200)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--codec-kind", default="sigma",
+                    choices=["sigma", "stableaudio", "melvae"])
+    ap.add_argument("--codec-config", default="")
+    ap.add_argument("--codec-ckpt", default="")
+    ap.add_argument("--platform", default="")
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import numpy as np
+
+    from kalle_tpu.core.checkpoint import load_reference_llasa_checkpoint
+    from kalle_tpu.core.config import load_experiment_config
+    from kalle_tpu.data.datasets import read_jsonl
+    from kalle_tpu.data.tokens import build_prompt_ids, build_tokenizer
+    from kalle_tpu.infer.pipeline import Codec
+    from kalle_tpu.infer.serve_loop import ContinuousBatcher
+    from kalle_tpu.models.lm import llasa
+    from kalle_tpu.utils.audio import write_wav
+
+    exp = load_experiment_config(args.config)
+    cfg = exp.model
+    tok = build_tokenizer(exp.tokenizer_path or None)
+    if args.checkpoint:
+        params = load_reference_llasa_checkpoint(args.checkpoint, cfg)
+    else:
+        print("WARNING: no checkpoint given — random init (smoke mode)")
+        params = llasa.init_params(cfg, jax.random.key(0))
+    if args.codec_config and args.codec_ckpt:
+        codec = Codec.load(args.codec_kind, args.codec_config, args.codec_ckpt)
+    else:
+        print("WARNING: no codec checkpoint — random codec (smoke mode)")
+        overrides = {}
+        if args.codec_kind == "sigma" and cfg.latent_dim != 64:
+            from kalle_tpu.models.codecs.sigmavae import SigmaVAEConfig
+
+            overrides["cfg"] = SigmaVAEConfig.tiny()
+        codec = Codec.random_init(args.codec_kind, **overrides)
+
+    rows = read_jsonl(args.input_jsonl)
+    os.makedirs(args.output_dir, exist_ok=True)
+    prompts, ids_of = [], []
+    for i, row in enumerate(rows):
+        text = str(row.get("caption") or row.get("AudioSetCaps")
+                   or row.get("text"))
+        prompts.append(np.asarray(build_prompt_ids(tok, text), np.int32))
+        ids_of.append(str(row.get("id", i)))
+
+    cb = ContinuousBatcher(params, cfg, batch_size=args.batch,
+                           max_frames=args.max_frames)
+    spf = codec.samples_per_frame
+    t0 = time.perf_counter()
+    n_done = 0
+    for comp in cb.run_iter(prompts):
+        lat = (comp.samples if cfg.head_variant == "sigma" else comp.means)
+        audio = codec.decode_latents(lat[None])
+        n = max(comp.n_frames, 1)
+        path = os.path.join(args.output_dir, f"{ids_of[comp.index]}.wav")
+        write_wav(path, audio[0, :, :n * spf], codec.sample_rate)
+        n_done += 1
+        print(f"[{time.perf_counter()-t0:7.2f}s] {path} "
+              f"({comp.n_frames} frames, waited {comp.steps_waited} steps)")
+    dt = time.perf_counter() - t0
+    print(json.dumps({"requests": n_done, "wall_s": round(dt, 2),
+                      "req_per_s": round(n_done / dt, 3)}))
+
+
+if __name__ == "__main__":
+    main()
