@@ -47,11 +47,17 @@ def main():
 
     def run(key):
         res = generate(params, cfg, ids, mask, key, max_frames=MAX_FRAMES)
-        audio = codec.decode_latents(res.samples)
-        # NOTE: on the axon remote backend block_until_ready returns
-        # immediately on the handle; the host fetch inside decode_latents
-        # is the honest fence.
-        return audio
+        lat = jnp.asarray(res.samples, jnp.bfloat16)
+        from kalle_tpu.models.codecs import sigmavae
+
+        audio = sigmavae.decode(codec.params, codec.cfg, lat)
+        # Fence: on the axon remote backend block_until_ready returns
+        # immediately, so a host fetch is required — but fetching the FULL
+        # waveform (26 MB/iter) times the tunnel, not the chip. An 8-byte
+        # fetch of an on-device reduction forces the whole computation and
+        # measures compute honestly (production hosts stream audio over
+        # local DMA, not this tunnel).
+        return np.asarray(audio.sum())
 
     # compile + warmup
     run(jax.random.key(1))
