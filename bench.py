@@ -37,8 +37,13 @@ def main():
     from kalle_tpu.models.lm import llasa
 
     cfg = _flagship_cfg()
+    from kalle_tpu.ops.quant import quantize_llama_params
+
     params = llasa.init_params(cfg, jax.random.key(0))
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    # int8 weight-only decode: quality-gated on a trained model by
+    # tests/test_quant.py::test_int8_decode_quality_on_trained_model
+    params = quantize_llama_params(params)
     codec = Codec.random_init("sigma").astype(jnp.bfloat16)
 
     rng = np.random.default_rng(0)
@@ -76,7 +81,7 @@ def main():
         "metric": "synthesis_rtf_v5e_chip",
         "value": round(rtf, 6),
         "unit": "wall_s_per_audio_s, end-to-end text->24kHz wav "
-                "(batch=32, KV-cached 1B bf16 decode + codec)",
+                "(batch=32, KV-cached 1B int8-weight decode + bf16 codec)",
         "vs_baseline": round(TARGET_RTF / rtf, 3),
     }))
     return 0

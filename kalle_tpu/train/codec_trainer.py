@@ -45,6 +45,30 @@ class LossWeights(NamedTuple):
     fm: float = 2.0
 
 
+def inverse_lr_schedule(base_lr: float, inv_gamma: float = 1.0,
+                        power: float = 1.0, warmup: float = 0.0,
+                        final_lr: float = 0.0):
+    """InverseLR closed form (ref stable_audio_tools/training/utils.py:17-56):
+    lr(t) = (1 - warmup**(t+1)) * max(final_lr, base_lr * (1 + t/inv_gamma)**-power)."""
+
+    def schedule(step):
+        w = 1.0 - warmup ** (step + 1.0)
+        mult = (1.0 + step / inv_gamma) ** -power
+        return w * jnp.maximum(final_lr, base_lr * mult)
+
+    return schedule
+
+
+def make_codec_optimizer(lr: float = 1e-4, betas=(0.8, 0.99),
+                         use_inverse_lr: bool = False,
+                         **sched_kwargs) -> optax.GradientTransformation:
+    """Reference default codec optimizer: AdamW betas (0.8, 0.99)
+    (ref stable_audio_tools/training/autoencoders.py:50-70), optionally under
+    the InverseLR decay the training factory wires up."""
+    sched = inverse_lr_schedule(lr, **sched_kwargs) if use_inverse_lr else lr
+    return optax.adamw(sched, b1=betas[0], b2=betas[1])
+
+
 def make_state(gen_params, disc_params, gen_tx, disc_tx) -> CodecTrainState:
     return CodecTrainState(gen_params, disc_params, gen_tx.init(gen_params),
                            disc_tx.init(disc_params),

@@ -62,3 +62,29 @@ def test_gan_training_steps_run_and_descend():
         for v in list(gm.values()) + list(dm.values()):
             assert np.isfinite(float(v))
     assert float(gm["gen_total"]) < first
+
+
+def test_inverse_lr_matches_reference():
+    """Golden parity vs the vendored torch InverseLR scheduler
+    (stable_audio_tools/training/utils.py:17-56)."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from stable_audio_tools.training.utils import InverseLR
+
+    from kalle_tpu.train.codec_trainer import inverse_lr_schedule
+
+    base_lr, kw = 1.5e-4, dict(inv_gamma=200.0, power=0.7, warmup=0.99,
+                               final_lr=1e-6)
+    # the vendored class passes `verbose` to a torch base that dropped it;
+    # bypass __init__ and drive the closed-form method as the oracle
+    ref = InverseLR.__new__(InverseLR)
+    ref.inv_gamma, ref.power = kw["inv_gamma"], kw["power"]
+    ref.warmup, ref.final_lr = kw["warmup"], kw["final_lr"]
+    ref.base_lrs = [base_lr]
+    ours = inverse_lr_schedule(base_lr, **kw)
+    for step in range(0, 2000, 37):
+        ref.last_epoch = step
+        want = ref._get_closed_form_lr()[0]
+        got = float(ours(step))
+        np.testing.assert_allclose(got, want, rtol=1e-6)

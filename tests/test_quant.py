@@ -40,3 +40,58 @@ def test_quantized_llama_forward_close():
     # per-matmul int8 noise compounds over layers; stays bounded
     rel = np.abs(dense - quant).mean() / (np.abs(dense).mean() + 1e-8)
     assert rel < 0.15, rel
+
+
+def test_int8_decode_quality_on_trained_model():
+    """Trained-weight quality gate for int8 weight-only decode (round-1 left
+    it opt-in pending this): overfit the tiny Llasa, then greedy-decode with
+    int8 weights — the latent trajectory must stay close to the bf16-dense
+    decode AND still track the training latents."""
+    import dataclasses
+
+    from kalle_tpu.core.config import LlamaConfig, LlasaConfig, TrainConfig
+    from kalle_tpu.data.collate import Item, collate
+    from kalle_tpu.infer.generate import generate
+    from kalle_tpu.models.lm import llasa
+    from kalle_tpu.ops.quant import quantize_llama_params
+    from kalle_tpu.train.optim import make_optimizer
+    from kalle_tpu.train.step import make_train_state, train_step
+
+    cfg = LlasaConfig(llama=LlamaConfig.tiny(vocab_size=64), latent_dim=8,
+                      audio_proj_dim=64, head_variant="sigma")
+    tcfg = TrainConfig(lr=3e-3, warmup_steps=10, total_steps=400,
+                       scheduler="cosine")
+    rng = np.random.default_rng(0)
+    n_frames = 12
+    ids = rng.integers(1, 64, (6,)).astype(np.int32)
+    lat = (np.sin(np.linspace(0, 3, n_frames))[:, None]
+           * np.linspace(0.5, 2.0, 8)[None, :]).astype(np.float32)
+    items = [Item(input_ids=ids, audio_latents=lat,
+                  audio_distribution=lat.copy())]
+    batch_np = collate(items, pad_token_id=0, buckets=(32,))
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+             if isinstance(v, np.ndarray)}
+
+    params = llasa.init_params(cfg, jax.random.key(0))
+    tx = make_optimizer(tcfg)
+    state = make_train_state(params, tx)
+    for _ in range(400):
+        state, m = train_step(state, cfg, tcfg, tx, batch, jax.random.key(1))
+
+    def decode(p):
+        res = generate(p, cfg, jnp.asarray(ids[None]),
+                       jnp.ones((1, len(ids)), jnp.int32), jax.random.key(2),
+                       max_frames=n_frames, end_kl_threshold=-1.0,
+                       greedy=True)
+        return np.asarray(res.means[0], np.float32)
+
+    dense = decode(state.params)
+    int8 = decode(quantize_llama_params(state.params))
+    # int8-vs-dense deviation must be small relative to the signal
+    sig = float(np.var(lat))
+    dev = float(np.mean((dense - int8) ** 2))
+    assert dev < 0.02 * sig, (dev, sig)
+    # and int8 still tracks the ground-truth trajectory about as well
+    mse_dense = float(np.mean((dense[:n_frames] - lat) ** 2))
+    mse_int8 = float(np.mean((int8[:n_frames] - lat) ** 2))
+    assert mse_int8 < 2.0 * mse_dense + 0.02 * sig, (mse_int8, mse_dense)
