@@ -89,3 +89,39 @@ def test_early_stop_counts():
     assert res.n_frames.tolist() == [4, 4]
     # frames beyond steps are zero-masked
     assert np.asarray(res.samples)[0, 6:].max() == 0.0
+
+
+def test_generate_with_tp_sharded_params():
+    """Multi-chip serving: generate() under a dp x tp mesh with TP-sharded
+    params must reproduce the single-device decode (jit inserts the
+    collectives from the shardings)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from kalle_tpu.core.config import LlamaConfig, LlasaConfig
+    from kalle_tpu.infer.generate import generate
+    from kalle_tpu.models.lm import llasa
+    from kalle_tpu.parallel.mesh import make_mesh, shard_params
+
+    cfg = LlasaConfig(llama=LlamaConfig.tiny(vocab_size=300), latent_dim=8,
+                      audio_proj_dim=64, head_variant="stableaudio")
+    params = llasa.init_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 300, (2, 8)), jnp.int32)
+    mask = jnp.ones((2, 8), jnp.int32)
+
+    ref = generate(params, cfg, ids, mask, jax.random.key(1), max_frames=6,
+                   end_kl_threshold=-1.0, greedy=True)
+
+    mesh = make_mesh(dp=2, tp=4)
+    with jax.sharding.set_mesh(mesh):
+        sharded = shard_params(params, mesh)
+        out = generate(sharded, cfg, ids, mask, jax.random.key(1),
+                       max_frames=6, end_kl_threshold=-1.0, greedy=True)
+    np.testing.assert_allclose(np.asarray(out.means, np.float32),
+                               np.asarray(ref.means, np.float32),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(out.n_frames),
+                                  np.asarray(ref.n_frames))

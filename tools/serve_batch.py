@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--codec-config", default="")
     ap.add_argument("--codec-ckpt", default="")
     ap.add_argument("--platform", default="")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 weight-only LM decode (quality-gated by "
+                         "tests/test_quant.py on a trained model)")
     args = ap.parse_args()
 
     if args.platform:
@@ -59,6 +62,10 @@ def main():
     else:
         print("WARNING: no checkpoint given — random init (smoke mode)")
         params = llasa.init_params(cfg, jax.random.key(0))
+    if args.int8:
+        from kalle_tpu.ops.quant import quantize_llama_params
+
+        params = quantize_llama_params(params)
     if args.codec_config and args.codec_ckpt:
         codec = Codec.load(args.codec_kind, args.codec_config, args.codec_ckpt)
     else:
