@@ -126,6 +126,10 @@ class TrainConfig:
     # parallelism: mesh axis sizes; -1 means "all remaining devices"
     dp: int = -1
     tp: int = 1
+    # ZeRO-3/FSDP: shard tp-sharded weight dims over dp too (params and
+    # optimizer state at rest drop to 1/(tp*dp) per chip; XLA all-gathers
+    # weights over dp inside each scanned layer)
+    fsdp: bool = False
 
 
 @dataclass(frozen=True)
@@ -239,6 +243,9 @@ def load_experiment_config(path_or_dict: Any) -> ExperimentConfig:
         end_loss_weight=float(_get(raw, "end_loss_weight", 0.002)),
         save_interval=int(_get(raw, "save_interval", 5000)),
         log_interval=int(_get(raw, "log_interval", 100)),
+        dp=int(_get(raw, "dp", -1)),
+        tp=int(_get(raw, "tp", 1)),
+        fsdp=bool(_get(raw, "fsdp", False)),
     )
 
     vae_cfg = _get(ds, "vae_config", {})

@@ -50,14 +50,22 @@ def activation_seq_constraint(x):
     return jax.lax.with_sharding_constraint(x, P(DP_AXIS, SP_AXIS, None))
 
 
-def param_pspecs(llasa_params: dict) -> dict:
+def param_pspecs(llasa_params: dict, fsdp: bool = False) -> dict:
     """PartitionSpecs for the Llasa param tree.
 
     TP layout (Megatron-style, collectives ride ICI):
       wq/wk/wv/wg/wu column-parallel (shard output dim = heads/ffn),
       wo/wd row-parallel (shard input dim); embeddings sharded on vocab;
       norms replicated. Layer-stacked arrays carry a leading L axis.
+
+    fsdp=True additionally shards the tp dimension over the dp axis
+    (PartitionSpec element ('tp', 'dp')): at-rest parameter AND optimizer
+    memory drop by another 1/dp (ZeRO-3 intent — XLA all-gathers the
+    weights over dp inside each scanned layer and the batch stays
+    dp-sharded). This is what makes 1B+ f32-master training fit small
+    chips at dp >= 2.
     """
+    tp = (TP_AXIS, DP_AXIS) if fsdp else TP_AXIS
 
     def lp(spec_without_l):
         return P(None, *spec_without_l)
@@ -66,23 +74,23 @@ def param_pspecs(llasa_params: dict) -> dict:
         "llama": {
             # shard hidden (not vocab): the token gather then yields
             # h-sharded activations instead of all-gathering the table
-            "embed": P(None, TP_AXIS),
+            "embed": P(None, tp),
             "layers": {
                 "attn_norm": lp((None,)),
-                "wq": lp((None, TP_AXIS)),
-                "wk": lp((None, TP_AXIS)),
-                "wv": lp((None, TP_AXIS)),
-                "wo": lp((TP_AXIS, None)),
+                "wq": lp((None, tp)),
+                "wk": lp((None, tp)),
+                "wv": lp((None, tp)),
+                "wo": lp((tp, None)),
                 "mlp_norm": lp((None,)),
-                "wg": lp((None, TP_AXIS)),
-                "wu": lp((None, TP_AXIS)),
-                "wd": lp((TP_AXIS, None)),
+                "wg": lp((None, tp)),
+                "wu": lp((None, tp)),
+                "wd": lp((tp, None)),
             },
             "final_norm": P(None),
         },
-        "audio_linear": {"w": P(None, TP_AXIS), "b": P(TP_AXIS)},
+        "audio_linear": {"w": P(None, tp), "b": P(tp)},
         "distribution_linear": {
-            "w0": P(TP_AXIS, None), "b0": P(None),
+            "w0": P(tp, None), "b0": P(None),
             "w2": P(None, None), "b2": P(None),
         },
     }
@@ -93,8 +101,8 @@ def batch_pspec() -> P:
     return P(DP_AXIS)
 
 
-def shard_params(params: dict, mesh: Mesh) -> dict:
-    specs = param_pspecs(params)
+def shard_params(params: dict, mesh: Mesh, fsdp: bool = False) -> dict:
+    specs = param_pspecs(params, fsdp=fsdp)
     return jax.device_put(
         params, jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                              is_leaf=lambda x: isinstance(x, P)))

@@ -57,7 +57,7 @@ class Trainer:
 
         params = self._init_or_load_params()
         with jax.sharding.set_mesh(self.mesh):
-            params = shard_params(params, self.mesh)
+            params = shard_params(params, self.mesh, fsdp=self.tcfg.fsdp)
             self.state = make_train_state(params, self.tx)
         self.state, self.start_step = self.ckpt.restore(self.state)
         if self.start_step:

@@ -138,3 +138,45 @@ def test_dp_tp_sp_sharded_step_matches_single_device():
         stn, mn = train_step(stn, cfg, tcfg, tx, sb, rng)
     np.testing.assert_allclose(float(m1["total_loss"]), float(mn["total_loss"]),
                                rtol=1e-5)
+
+
+def test_fsdp_sharded_step_matches_and_shards_memory():
+    """fsdp=True (tp dims additionally sharded over dp) must reproduce the
+    single-device step AND hold 1/(tp*dp) of each big weight per device —
+    the ZeRO-3 memory behavior that lets f32-master 1B training fit small
+    chips at dp >= 2."""
+    from kalle_tpu.parallel.mesh import param_pspecs
+
+    cfg = LlasaConfig(llama=LlamaConfig.tiny(), latent_dim=8,
+                      audio_proj_dim=64, head_variant="sigma")
+    tcfg = TrainConfig(lr=1e-3, warmup_steps=2, total_steps=100)
+    params = llasa.init_params(cfg, jax.random.key(1))
+    tx = make_optimizer(tcfg)
+    batch = _tiny_batch(b=8, seed=3)
+    rng = jax.random.key(0)
+
+    state_1 = make_train_state(jax.tree.map(jnp.copy, params), tx)
+    state_1, m1 = train_step(state_1, cfg, tcfg, tx, batch, rng)
+
+    mesh = make_mesh(dp=4, tp=2)
+    with jax.sharding.set_mesh(mesh):
+        sp = shard_params(params, mesh, fsdp=True)
+        # at rest: wq (L, h, nq*hd) sharded 1/8 on its out dim
+        wq = sp["llama"]["layers"]["wq"]
+        shard_shapes = {s.data.shape for s in wq.addressable_shards}
+        L, h, out = wq.shape
+        assert shard_shapes == {(L, h, out // 8)}, shard_shapes
+        sb = shard_batch(batch, mesh)
+        state_n = make_train_state(sp, tx)
+        # optimizer state inherits the fsdp sharding (ZeRO)
+        mu_wq = jax.tree.leaves(
+            state_n.opt_state, is_leaf=lambda x: hasattr(x, "addressable_shards"))
+        state_n, mn = train_step(state_n, cfg, tcfg, tx, sb, rng)
+
+    np.testing.assert_allclose(float(m1["total_loss"]), float(mn["total_loss"]),
+                               rtol=1e-5)
+    l1 = jax.tree.leaves(state_1.params)
+    ln = jax.tree.leaves(jax.device_get(state_n.params))
+    for a, b in zip(l1, ln):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
