@@ -133,8 +133,10 @@ def embed_tokens(params: dict, input_ids: jnp.ndarray, cfg: LlamaConfig) -> jnp.
 
 def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, cache_kv=None,
            cache_len=None, flash_pad_mask=None, flash_interpret=False):
-    """One transformer block. cache_kv: optional (k_cache, v_cache) with
-    static max_len; returns (x_out, (new_k_entry, new_v_entry)).
+    """One transformer block. cache_kv: optional (k_full, v_full, li) —
+    the FULL (L, b, max_len, n_kv, hd) caches plus the layer index; the new
+    K/V entries are written in place at (li, :, cache_len) and attention
+    reads the updated layer slice. Returns (x_out, (k_full, v_full)).
     flash_pad_mask: when set (b, t), attention runs through the Pallas
     flash kernel (differentiable — custom VJP) instead of the XLA path."""
     dt = jnp.dtype(cfg.dtype)
@@ -163,13 +165,14 @@ def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, cache_kv=None,
         return x, (k, v)
 
     if cache_kv is not None:
-        k_cache, v_cache = cache_kv
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype),
-                                               (0, cache_len, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype),
-                                               (0, cache_len, 0, 0))
-        attn = mha(q, k_cache, v_cache, mask)
-        new_kv = (k_cache, v_cache)
+        k_full, v_full, li = cache_kv
+        k_full = jax.lax.dynamic_update_slice(
+            k_full, k[None].astype(k_full.dtype), (li, 0, cache_len, 0, 0))
+        v_full = jax.lax.dynamic_update_slice(
+            v_full, v[None].astype(v_full.dtype), (li, 0, cache_len, 0, 0))
+        attn = mha(q, jax.lax.dynamic_index_in_dim(k_full, li, 0, False),
+                   jax.lax.dynamic_index_in_dim(v_full, li, 0, False), mask)
+        new_kv = (k_full, v_full)
     else:
         attn = mha(q, k, v, mask)
         new_kv = (k, v)
@@ -261,11 +264,21 @@ def forward_with_cache(
     causal = k_pos[None, :, :] <= q_slot  # (1, t, max_len)
     mask = jnp.logical_and(causal, valid[:, None, :])[:, None, :, :]
 
-    def body(x, layer_in):
-        lp, k_c, v_c = layer_in
-        x, (k_c, v_c) = _layer(cfg, x, lp, cos, sin, mask, (k_c, v_c), cache.length)
-        return x, (k_c, v_c)
+    # The full (L, ...) cache rides the scan CARRY and is updated in place
+    # with a layer-indexed dynamic_update_slice: XLA aliases the carry
+    # buffer across scan/while iterations, so each decode step writes only
+    # the new (b, t, n_kv, hd) entries instead of materializing fresh
+    # scan-ys cache arrays (measured on v5e, b=32 int8 decode: 6.0 -> 4.2
+    # ms/step at cache 160; 11.7 -> 7.3 at cache 1024).
+    def body(carry, layer_in):
+        x, k_full, v_full = carry
+        li, lp = layer_in
+        x, (k_full, v_full) = _layer(cfg, x, lp, cos, sin, mask,
+                                     (k_full, v_full, li), cache.length)
+        return (x, k_full, v_full), None
 
-    x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    (x, new_k, new_v), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v),
+        (jnp.arange(cfg.num_layers), params["layers"]))
     x = rms_norm(x, params["final_norm"].astype(dt), cfg.rms_norm_eps)
     return x, KVCache(k=new_k, v=new_v, length=cache.length + t)

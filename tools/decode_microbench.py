@@ -1,0 +1,207 @@
+#!/usr/bin/env python
+"""Decode-step microbenchmark: localize where the AR decode step time goes.
+
+Variants (all 1B flagship shapes, batch B, one frame per step):
+  weights   -- scan over L layers doing only the 7 weight matmuls on a
+               (B, h) activation: the pure weight-streaming floor as XLA
+               actually achieves it (no attention / cache / norms).
+  step      -- one full decode step: llama.forward_with_cache(t=1) with a
+               realistic cache (prompt 32 + 128 frames) + head + embed.
+  step_nokv -- same but cache_len=128 (minimal) to isolate KV-cache cost.
+  gen       -- full generate() loop amortized per step (cross-check).
+
+Each variant runs STEPS iterations inside one jitted fori_loop (chained
+data dependence), so per-step time excludes host dispatch. Fence = host
+fetch of an 8-byte reduction (axon: block_until_ready is a no-op).
+
+Usage: python tools/decode_microbench.py [--batch 32] [--int8]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def bench(fn, *args, iters=3):
+    fn(*args)  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fn(*args)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_cfg
+    from kalle_tpu.models.lm import llama, llasa
+    from kalle_tpu.ops.quant import maybe_matmul, quantize_llama_params
+
+    cfg = _flagship_cfg()
+    lcfg = cfg.llama
+    B, STEPS = args.batch, args.steps
+    params = llasa.init_params(cfg, jax.random.key(0))
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    if args.int8:
+        params = quantize_llama_params(params)
+
+    layers = params["llama"]["layers"]
+
+    def wbytes(t):
+        return sum(x.nbytes for x in jax.tree.leaves(t))
+
+    stream_gb = wbytes(layers) / 1e9
+    print(f"batch={B} int8={args.int8} streamed weights {stream_gb:.2f} GB "
+          f"(+embed {params['llama']['embed'].nbytes/1e9:.2f} GB gathered)")
+
+    # ---- weights-only floor ----------------------------------------------
+    @jax.jit
+    def weights_only(params, x):
+        layers = params["llama"]["layers"]
+
+        def one(x, lp):
+            q = maybe_matmul(x, lp["wq"])
+            k = maybe_matmul(x, lp["wk"])
+            v = maybe_matmul(x, lp["wv"])
+            x = x + maybe_matmul(q, lp["wo"])
+            g = jax.nn.silu(maybe_matmul(x, lp["wg"]))
+            u = maybe_matmul(x, lp["wu"])
+            x = x + maybe_matmul(g * u, lp["wd"]) + k.sum() + v.sum()
+            return x, None
+
+        def step(i, x):
+            x, _ = jax.lax.scan(one, x, layers)
+            return x
+
+        return jax.lax.fori_loop(0, STEPS, step, x).sum()
+
+    x = jnp.ones((B, lcfg.hidden_size), jnp.bfloat16)
+    dt = bench(lambda: np.asarray(weights_only(params, x)))
+    print(f"weights-only: {dt/STEPS*1e3:7.3f} ms/step   "
+          f"BW {stream_gb/(dt/STEPS):6.0f} GB/s")
+
+    # ---- full decode step -------------------------------------------------
+    def make_step(cache_len):
+        @jax.jit
+        def run(params, emb0):
+            cache = llama.KVCache.zeros(lcfg, B, cache_len, dtype=jnp.bfloat16)
+            valid = jnp.ones((B, cache_len), bool)
+
+            def step(i, carry):
+                emb, cache = carry
+                h, cache = llama.forward_with_cache(
+                    params["llama"], lcfg, emb, cache,
+                    attention_mask=valid,
+                    positions=jnp.full((B, 1), 64, jnp.int32))
+                mean = llasa.distribution_head(params, h, jnp.bfloat16)
+                emb = llasa.audio_proj(params, mean, jnp.bfloat16)
+                # keep cache.length static across iterations
+                cache = cache._replace(length=jnp.zeros((), jnp.int32) + 32)
+                return emb, cache
+
+            emb, cache = jax.lax.fori_loop(0, STEPS, step, (emb0, cache))
+            return emb.sum()
+
+        return run
+
+    emb0 = jnp.ones((B, 1, lcfg.hidden_size), jnp.bfloat16)
+    for cache_len, label in ((32 + 128, "step (cache 160)"),
+                             (1024, "step (cache 1024)")):
+        run = make_step(cache_len)
+        dt = bench(lambda r=run: np.asarray(r(params, emb0)))
+        kv_gb = (2 * lcfg.num_layers * B * cache_len * lcfg.num_kv_heads
+                 * lcfg.head_dim * 2) / 1e9
+        print(f"{label}: {dt/STEPS*1e3:7.3f} ms/step   kv={kv_gb*1e3:.0f} MB "
+              f"eff-BW {(stream_gb+kv_gb)/(dt/STEPS):6.0f} GB/s")
+
+    # ---- carry-cache variant: full (L,...) cache in the scan CARRY, ------
+    # updated with an in-place dynamic_update_slice at layer index — no
+    # fresh scan-ys cache buffers per step.
+    from kalle_tpu.models.lm.llama import apply_rope, rms_norm, rope_cos_sin
+    from kalle_tpu.ops.attention import mha
+
+    def make_step_carry(cache_len):
+        @jax.jit
+        def run(params, emb0):
+            lay = params["llama"]["layers"]
+            shape = (lcfg.num_layers, B, cache_len, lcfg.num_kv_heads,
+                     lcfg.head_dim)
+            k_full = jnp.zeros(shape, jnp.bfloat16)
+            v_full = jnp.zeros(shape, jnp.bfloat16)
+            pos = jnp.full((B, 1), 64, jnp.int32)
+            cos, sin = rope_cos_sin(lcfg, pos)
+            slot = 33
+            k_pos = jnp.arange(cache_len)[None, None, None, :]
+            mask = (k_pos <= slot)  # (1,1,1,cache_len)
+
+            def layer(carry, inp):
+                x, k_full, v_full = carry
+                li, lp = inp
+                nq, nkv, hd = (lcfg.num_heads, lcfg.num_kv_heads,
+                               lcfg.head_dim)
+                attn_in = rms_norm(x, lp["attn_norm"].astype(x.dtype),
+                                   lcfg.rms_norm_eps)
+                q = maybe_matmul(attn_in, lp["wq"]).reshape(B, 1, nq, hd)
+                k = maybe_matmul(attn_in, lp["wk"]).reshape(B, 1, nkv, hd)
+                v = maybe_matmul(attn_in, lp["wv"]).reshape(B, 1, nkv, hd)
+                q = apply_rope(q, cos, sin)
+                k = apply_rope(k, cos, sin)
+                k_full = jax.lax.dynamic_update_slice(
+                    k_full, k[None], (li, 0, slot, 0, 0))
+                v_full = jax.lax.dynamic_update_slice(
+                    v_full, v[None], (li, 0, slot, 0, 0))
+                attn = mha(q, k_full[li], v_full[li],
+                           jnp.broadcast_to(mask, (B, 1, 1, cache_len)))
+                x = x + maybe_matmul(attn.reshape(B, 1, nq * hd), lp["wo"])
+                mlp_in = rms_norm(x, lp["mlp_norm"].astype(x.dtype),
+                                  lcfg.rms_norm_eps)
+                g = jax.nn.silu(maybe_matmul(mlp_in, lp["wg"]))
+                u = maybe_matmul(mlp_in, lp["wu"])
+                x = x + maybe_matmul(g * u, lp["wd"])
+                return (x, k_full, v_full), None
+
+            def step(i, carry):
+                emb, k_full, v_full = carry
+                (x, k_full, v_full), _ = jax.lax.scan(
+                    layer, (emb, k_full, v_full),
+                    (jnp.arange(lcfg.num_layers), lay))
+                x = rms_norm(x, params["llama"]["final_norm"].astype(x.dtype),
+                             lcfg.rms_norm_eps)
+                mean = llasa.distribution_head(params, x, jnp.bfloat16)
+                emb = llasa.audio_proj(params, mean, jnp.bfloat16)
+                return emb, k_full, v_full
+
+            out = jax.lax.fori_loop(0, STEPS, step, (emb0, k_full, v_full))
+            return out[0].sum()
+
+        return run
+
+    for cache_len, label in ((32 + 128, "carry-cache step (cache 160)"),
+                             (1024, "carry-cache step (cache 1024)")):
+        run = make_step_carry(cache_len)
+        dt = bench(lambda r=run: np.asarray(r(params, emb0)))
+        kv_gb = (2 * lcfg.num_layers * B * cache_len * lcfg.num_kv_heads
+                 * lcfg.head_dim * 2) / 1e9
+        print(f"{label}: {dt/STEPS*1e3:7.3f} ms/step   kv={kv_gb*1e3:.0f} MB "
+              f"eff-BW {(stream_gb+kv_gb)/(dt/STEPS):6.0f} GB/s")
+
+
+if __name__ == "__main__":
+    main()
