@@ -52,6 +52,10 @@ class LlamaConfig:
     # (ref model.py:20-23, model_sigmaVAE.py:17-22). Auto-disabled on CPU
     # unless forced (tests force interpret mode).
     use_flash_attention: bool = True
+    # microbatches streamed through the pipeline stages when the ambient
+    # mesh has a `pp` axis (parallel/pipeline.py). Per-device batch must be
+    # divisible by it; bubble fraction = (pp-1)/(pp_microbatches+pp-1).
+    pp_microbatches: int = 4
 
     @staticmethod
     def tiny(vocab_size: int = 300) -> "LlamaConfig":
@@ -130,6 +134,9 @@ class TrainConfig:
     # optimizer state at rest drop to 1/(tp*dp) per chip; XLA all-gathers
     # weights over dp inside each scanned layer)
     fsdp: bool = False
+    # GPipe pipeline stages (parallel/pipeline.py); composes with dp only.
+    # Microbatch count comes from LlamaConfig.pp_microbatches.
+    pp: int = 1
 
 
 @dataclass(frozen=True)
@@ -246,6 +253,7 @@ def load_experiment_config(path_or_dict: Any) -> ExperimentConfig:
         dp=int(_get(raw, "dp", -1)),
         tp=int(_get(raw, "tp", 1)),
         fsdp=bool(_get(raw, "fsdp", False)),
+        pp=int(_get(raw, "pp", 1)),
     )
 
     vae_cfg = _get(ds, "vae_config", {})

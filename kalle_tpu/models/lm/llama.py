@@ -217,6 +217,28 @@ def forward(
         attention_mask, t)
 
     from ...parallel.mesh import activation_seq_constraint
+    from ...parallel.pipeline import PP_AXIS, pipelined_layer_stack
+
+    ambient = jax.sharding.get_abstract_mesh()
+    if (ambient is not None and PP_AXIS in getattr(ambient, "axis_names", ())
+            and dict(ambient.shape)[PP_AXIS] > 1):
+        # pipeline parallelism: layers partitioned over pp stages,
+        # microbatches rotate through them (parallel/pipeline.py). The mask
+        # travels with its microbatch; attention uses the XLA path (the
+        # per-stage microbatch shapes are small).
+        pmask = mask if mask is not None else make_causal_padding_mask(
+            attention_mask, t)
+
+        def pp_layer(state, lp):
+            h, mk = state
+            h, _ = _layer(cfg, h, lp, cos, sin, mk)
+            return h, mk
+
+        if cfg.remat:
+            pp_layer = jax.checkpoint(pp_layer)
+        x = pipelined_layer_stack(pp_layer, params["layers"], x, pmask,
+                                  n_microbatches=cfg.pp_microbatches)
+        return rms_norm(x, params["final_norm"].astype(dt), cfg.rms_norm_eps)
 
     def body(x, lp):
         x = activation_seq_constraint(x)  # sequence parallelism (sp axis)

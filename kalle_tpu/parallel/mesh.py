@@ -22,15 +22,26 @@ from ..core.config import LlamaConfig
 DP_AXIS = "dp"
 TP_AXIS = "tp"
 SP_AXIS = "sp"
+PP_AXIS = "pp"
 
 
-def make_mesh(dp: int = -1, tp: int = 1, sp: int = 1,
+def make_mesh(dp: int = -1, tp: int = 1, sp: int = 1, pp: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """dp x tp (x sp) mesh. sp enables sequence parallelism: activation
-    sequence dims get constrained to the sp axis in the backbone (GSPMD
-    inserts the attention all-gathers/reduce-scatters over ICI)."""
+    """dp x tp (x sp) mesh, or dp x pp when pp > 1. sp enables sequence
+    parallelism: activation sequence dims get constrained to the sp axis in
+    the backbone (GSPMD inserts the attention all-gathers/reduce-scatters
+    over ICI). pp enables GPipe pipeline parallelism over the stacked layer
+    axis (parallel/pipeline.py); tp/sp inside pp stages is unsupported (the
+    layer body would need manual psums under shard_map)."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    if pp > 1:
+        assert tp == 1 and sp == 1, "pp composes with dp only"
+        if dp == -1:
+            dp = n // pp
+        assert dp * pp == n, f"dp({dp})*pp({pp}) != devices({n})"
+        arr = np.asarray(devices).reshape(dp, pp)
+        return Mesh(arr, (DP_AXIS, PP_AXIS))
     if dp == -1:
         dp = n // (tp * sp)
     assert dp * tp * sp == n, f"dp({dp})*tp({tp})*sp({sp}) != devices({n})"
@@ -50,7 +61,8 @@ def activation_seq_constraint(x):
     return jax.lax.with_sharding_constraint(x, P(DP_AXIS, SP_AXIS, None))
 
 
-def param_pspecs(llasa_params: dict, fsdp: bool = False) -> dict:
+def param_pspecs(llasa_params: dict, fsdp: bool = False,
+                 pp: bool = False) -> dict:
     """PartitionSpecs for the Llasa param tree.
 
     TP layout (Megatron-style, collectives ride ICI):
@@ -64,11 +76,21 @@ def param_pspecs(llasa_params: dict, fsdp: bool = False) -> dict:
     weights over dp inside each scanned layer and the batch stays
     dp-sharded). This is what makes 1B+ f32-master training fit small
     chips at dp >= 2.
-    """
-    tp = (TP_AXIS, DP_AXIS) if fsdp else TP_AXIS
 
-    def lp(spec_without_l):
-        return P(None, *spec_without_l)
+    pp=True partitions the stacked layer axis L over the pp mesh axis
+    (GPipe stages, parallel/pipeline.py); tp must be 1 then, and
+    embeddings/heads are replicated.
+    """
+    if pp:
+        assert not fsdp, "pp composes with dp only"
+        tp = None
+        def lp(spec_without_l):
+            return P(PP_AXIS, *spec_without_l)
+    else:
+        tp = (TP_AXIS, DP_AXIS) if fsdp else TP_AXIS
+
+        def lp(spec_without_l):
+            return P(None, *spec_without_l)
 
     return {
         "llama": {
@@ -101,8 +123,9 @@ def batch_pspec() -> P:
     return P(DP_AXIS)
 
 
-def shard_params(params: dict, mesh: Mesh, fsdp: bool = False) -> dict:
-    specs = param_pspecs(params, fsdp=fsdp)
+def shard_params(params: dict, mesh: Mesh, fsdp: bool = False,
+                 pp: bool = False) -> dict:
+    specs = param_pspecs(params, fsdp=fsdp, pp=pp)
     return jax.device_put(
         params, jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                              is_leaf=lambda x: isinstance(x, P)))

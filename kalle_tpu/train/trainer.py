@@ -52,12 +52,14 @@ class Trainer:
         self.metrics = MetricsWriter(exp.log_dir)
         self.ckpt = CheckpointManager(os.path.join(exp.output_dir, "orbax"))
 
-        self.mesh = make_mesh(dp=self.tcfg.dp, tp=self.tcfg.tp)
+        self.mesh = make_mesh(dp=self.tcfg.dp, tp=self.tcfg.tp,
+                              pp=self.tcfg.pp)
         self.tx = make_optimizer(self.tcfg)
 
         params = self._init_or_load_params()
         with jax.sharding.set_mesh(self.mesh):
-            params = shard_params(params, self.mesh, fsdp=self.tcfg.fsdp)
+            params = shard_params(params, self.mesh, fsdp=self.tcfg.fsdp,
+                                  pp=self.tcfg.pp > 1)
             self.state = make_train_state(params, self.tx)
         self.state, self.start_step = self.ckpt.restore(self.state)
         if self.start_step:

@@ -22,6 +22,7 @@ def main():
     ap.add_argument("--m", type=int, default=32)
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--block", type=int, default=512)
+    ap.add_argument("--scan-only", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -55,22 +56,46 @@ def main():
         dt = (time.perf_counter() - t0) / 3 / STEPS
         print(f"{label:28s} {dt*1e3:7.3f} ms   BW {gb/dt:6.0f} GB/s")
 
-    # single big matmul: wg only
-    bench(lambda x: qmatmul(x, wg), "XLA qmatmul (2048x8192)",
-          wg["q"].nbytes / 1e9)
-    bench(lambda x: qmm(x, wg["q"], wg["scale"], block_n=BN),
-          f"pallas qmm bn={BN}", wg["q"].nbytes / 1e9)
+    if not args.scan_only:
+        # single big matmul: wg only
+        bench(lambda x: qmatmul(x, wg), "XLA qmatmul (2048x8192)",
+              wg["q"].nbytes / 1e9)
+        bench(lambda x: qmm(x, wg["q"], wg["scale"], block_n=BN),
+              f"pallas qmm bn={BN}", wg["q"].nbytes / 1e9)
 
-    # full MLP
-    def xla_mlp(x):
-        g = jax.nn.silu(qmatmul(x, wg))
-        u = qmatmul(x, wu)
-        return qmatmul((g * u).astype(x.dtype), wd)
+        # full MLP
+        def xla_mlp(x):
+            g = jax.nn.silu(qmatmul(x, wg))
+            u = qmatmul(x, wu)
+            return qmatmul((g * u).astype(x.dtype), wd)
 
-    bench(xla_mlp, "XLA 3-matmul MLP", gb_mlp)
-    for bf in (256, 512, 1024):
-        bench(lambda x, bf=bf: fused_mlp(x, wg, wu, wd, block_f=bf),
-              f"pallas fused_mlp bf={bf}", gb_mlp)
+        bench(xla_mlp, "XLA 3-matmul MLP", gb_mlp)
+        for bf in (256, 512, 1024):
+            bench(lambda x, bf=bf: fused_mlp(x, wg, wu, wd, block_f=bf),
+                  f"pallas fused_mlp bf={bf}", gb_mlp)
+
+    # --- product structure: 16 layers stacked, lax.scan over layers -------
+    L = 16
+    stack = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (L,) + a.shape).copy(), (wg, wu, wd))
+    wgs, wus, wds = stack
+    gb_l = gb_mlp * L
+
+    def scan_of(mlp_fn, x):
+        def body(x, lp):
+            g, u, d = lp
+            return (x + mlp_fn(x, g, u, d).astype(x.dtype) * 0).astype(
+                x.dtype), None
+        y, _ = jax.lax.scan(body, x, (wgs, wus, wds))
+        return y
+
+    bench(lambda x: scan_of(
+        lambda x, g, u, d: qmatmul(
+            (jax.nn.silu(qmatmul(x, g)) * qmatmul(x, u)).astype(x.dtype), d),
+        x), "XLA MLP in 16-layer scan", gb_l)
+    bench(lambda x: scan_of(
+        lambda x, g, u, d: fused_mlp(x, g, u, d, block_f=512), x),
+        "pallas fused_mlp in scan", gb_l)
 
 
 if __name__ == "__main__":
