@@ -42,7 +42,10 @@ def main():
     params = llasa.init_params(cfg, jax.random.key(0))
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     # int8 weight-only decode: quality-gated on a trained model by
-    # tests/test_quant.py::test_int8_decode_quality_on_trained_model
+    # tests/test_quant.py::test_int8_decode_quality_on_trained_model.
+    # NOT fused (ops.quant.fuse_decode_params): A/B on v5e shows fused
+    # wqkv/wgu wins only at long cache (+22% at 1024) and loses at this
+    # benchmark's cache 160 (-15%); serving exposes it via --fused.
     params = quantize_llama_params(params)
     codec = Codec.random_init("sigma").astype(jnp.bfloat16)
 

@@ -146,9 +146,15 @@ def _decode_layer(cfg, x, lp, cos, sin, k_full, v_full, li, lengths, mask):
     nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     attn_in = llama.rms_norm(x, lp["attn_norm"].astype(dt), cfg.rms_norm_eps)
-    q = maybe_matmul(attn_in, lp["wq"]).reshape(B, 1, nq, hd)
-    k = maybe_matmul(attn_in, lp["wk"]).reshape(B, 1, nkv, hd)
-    v = maybe_matmul(attn_in, lp["wv"]).reshape(B, 1, nkv, hd)
+    if "wqkv" in lp:  # fused decode layout (ops.quant.fuse_decode_params)
+        qkv = maybe_matmul(attn_in, lp["wqkv"])
+        q = qkv[..., : nq * hd].reshape(B, 1, nq, hd)
+        k = qkv[..., nq * hd: (nq + nkv) * hd].reshape(B, 1, nkv, hd)
+        v = qkv[..., (nq + nkv) * hd:].reshape(B, 1, nkv, hd)
+    else:
+        q = maybe_matmul(attn_in, lp["wq"]).reshape(B, 1, nq, hd)
+        k = maybe_matmul(attn_in, lp["wk"]).reshape(B, 1, nkv, hd)
+        v = maybe_matmul(attn_in, lp["wv"]).reshape(B, 1, nkv, hd)
     q = llama.apply_rope(q, cos, sin)
     k = llama.apply_rope(k, cos, sin)
 
@@ -161,8 +167,12 @@ def _decode_layer(cfg, x, lp, cos, sin, k_full, v_full, li, lengths, mask):
 
     x = x + maybe_matmul(attn.reshape(B, 1, nq * hd), lp["wo"])
     mlp_in = llama.rms_norm(x, lp["mlp_norm"].astype(dt), cfg.rms_norm_eps)
-    gate = jax.nn.silu(maybe_matmul(mlp_in, lp["wg"]))
-    up = maybe_matmul(mlp_in, lp["wu"])
+    if "wgu" in lp:
+        g, up = jnp.split(maybe_matmul(mlp_in, lp["wgu"]), 2, axis=-1)
+        gate = jax.nn.silu(g)
+    else:
+        gate = jax.nn.silu(maybe_matmul(mlp_in, lp["wg"]))
+        up = maybe_matmul(mlp_in, lp["wu"])
     x = x + maybe_matmul(gate * up, lp["wd"])
     return x, (k_full, v_full)
 

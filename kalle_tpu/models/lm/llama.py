@@ -146,11 +146,30 @@ def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, cache_kv=None,
     from ...ops.quant import maybe_matmul
 
     attn_in = rms_norm(x, lp["attn_norm"].astype(dt), cfg.rms_norm_eps)
-    q = maybe_matmul(attn_in, lp["wq"]).reshape(b, t, nq, hd)
-    k = maybe_matmul(attn_in, lp["wk"]).reshape(b, t, nkv, hd)
-    v = maybe_matmul(attn_in, lp["wv"]).reshape(b, t, nkv, hd)
+    if "wqkv" in lp:
+        # fused decode layout (ops.quant.fuse_decode_params): one wide
+        # weight stream, split back into q/k/v — same math
+        qkv = maybe_matmul(attn_in, lp["wqkv"])
+        q = qkv[..., : nq * hd].reshape(b, t, nq, hd)
+        k = qkv[..., nq * hd: (nq + nkv) * hd].reshape(b, t, nkv, hd)
+        v = qkv[..., (nq + nkv) * hd:].reshape(b, t, nkv, hd)
+    else:
+        q = maybe_matmul(attn_in, lp["wq"]).reshape(b, t, nq, hd)
+        k = maybe_matmul(attn_in, lp["wk"]).reshape(b, t, nkv, hd)
+        v = maybe_matmul(attn_in, lp["wv"]).reshape(b, t, nkv, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
+
+    def mlp(x):
+        mlp_in = rms_norm(x, lp["mlp_norm"].astype(dt), cfg.rms_norm_eps)
+        if "wgu" in lp:  # fused decode layout: one gate|up stream
+            gu = maybe_matmul(mlp_in, lp["wgu"])
+            g, up = jnp.split(gu, 2, axis=-1)
+            gate = jax.nn.silu(g)
+        else:
+            gate = jax.nn.silu(maybe_matmul(mlp_in, lp["wg"]))
+            up = maybe_matmul(mlp_in, lp["wu"])
+        return x + maybe_matmul(gate * up, lp["wd"])
 
     if flash_pad_mask is not None and cache_kv is None:
         from ...ops.pallas.flash_attention import flash_attention
@@ -158,11 +177,7 @@ def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, cache_kv=None,
         attn = flash_attention(q, k, v, flash_pad_mask,
                                interpret=flash_interpret)
         x = x + maybe_matmul(attn.reshape(b, t, nq * hd), lp["wo"])
-        mlp_in = rms_norm(x, lp["mlp_norm"].astype(dt), cfg.rms_norm_eps)
-        gate = jax.nn.silu(maybe_matmul(mlp_in, lp["wg"]))
-        up = maybe_matmul(mlp_in, lp["wu"])
-        x = x + maybe_matmul(gate * up, lp["wd"])
-        return x, (k, v)
+        return mlp(x), (k, v)
 
     if cache_kv is not None:
         k_full, v_full, li = cache_kv
@@ -178,12 +193,7 @@ def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, cache_kv=None,
         new_kv = (k, v)
 
     x = x + maybe_matmul(attn.reshape(b, t, nq * hd), lp["wo"])
-
-    mlp_in = rms_norm(x, lp["mlp_norm"].astype(dt), cfg.rms_norm_eps)
-    gate = jax.nn.silu(maybe_matmul(mlp_in, lp["wg"]))
-    up = maybe_matmul(mlp_in, lp["wu"])
-    x = x + maybe_matmul(gate * up, lp["wd"])
-    return x, new_kv
+    return mlp(x), new_kv
 
 
 def forward(

@@ -1,12 +1,14 @@
 """Pallas streaming matmul kernels for the memory-bound AR decode step.
 
 AR decode multiplies a tiny activation (M = batch rows, M <= ~64) against
-every weight matrix once per generated frame — pure weight streaming. XLA's
-lowering of `x @ int8.astype(bf16)` reaches ~400 GB/s on v5e; these kernels
-recover the rest of the HBM bandwidth by letting Pallas double-buffer the
-weight tiles through VMEM while the MXU consumes them, and by fusing the
-dequant scale and the SwiGLU elementwise into the same pass (fewer kernel
-launches per decode step — the 1B flagship runs 112 matmuls per frame).
+every weight matrix once per generated frame — pure weight streaming.
+MEASURED OUTCOME on v5e (tools/qmm_probe.py, 256-step amortization, weights
+as jit arguments): XLA's own in-scan lowering of `x @ int8.astype(bf16)`
+streams the 16-layer MLP stack at 641 GB/s (78% of HBM peak) while
+fused_mlp reaches 448 GB/s — XLA wins, so the product decode path keeps
+XLA matmuls (ops.quant.maybe_matmul) and these kernels stay as
+parity-tested alternates. (Isolated single-matmul microbenches are
+launch-latency-bound and meaningless here; always measure in-scan.)
 
 Two kernels:
   qmm(x, q, scale)       -- N-tiled (K, N) int8 (or bf16) weight stream.

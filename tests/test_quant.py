@@ -95,3 +95,31 @@ def test_int8_decode_quality_on_trained_model():
     mse_dense = float(np.mean((dense[:n_frames] - lat) ** 2))
     mse_int8 = float(np.mean((int8[:n_frames] - lat) ** 2))
     assert mse_int8 < 2.0 * mse_dense + 0.02 * sig, (mse_int8, mse_dense)
+
+
+def test_fused_decode_params_exact_parity():
+    """fuse_decode_params (wqkv / wgu concat) is exactly equivalent math:
+    full forward and KV-cached decode must reproduce the unfused outputs on
+    CPU (same dot per output column), for dense and int8 trees."""
+    from kalle_tpu.ops.quant import fuse_decode_params
+
+    cfg = LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.key(0))
+    ids = jnp.asarray(np.random.default_rng(1).integers(0, 300, (2, 16)))
+    mask = jnp.ones((2, 16), jnp.int32)
+    emb = llama.embed_tokens(params, ids, cfg)
+
+    for tree in (params, quantize_llama_params(params)):
+        fused = fuse_decode_params(tree)
+        assert "wq" not in fused["layers"] and "wqkv" in fused["layers"]
+        ref = np.asarray(llama.forward(tree, cfg, emb, mask))
+        got = np.asarray(llama.forward(fused, cfg, emb, mask))
+        np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+        cache = llama.KVCache.zeros(cfg, 2, 24)
+        h_ref, c_ref = llama.forward_with_cache(tree, cfg, emb, cache)
+        h_got, c_got = llama.forward_with_cache(fused, cfg, emb, cache)
+        np.testing.assert_allclose(np.asarray(h_got), np.asarray(h_ref),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(c_got.k), np.asarray(c_ref.k),
+                                   atol=1e-5, rtol=1e-5)

@@ -65,3 +65,23 @@ def test_early_stop_per_row():
     comps = cb.run(prompts[:2])
     for c in comps:
         assert c.n_frames == cfg.min_frames  # stop at i == min_frames
+
+
+def test_fused_params_match_single_request_generate():
+    """Fused wqkv/wgu decode layout (ops.quant.fuse_decode_params) through
+    the continuous batcher reproduces the unfused single-request decode."""
+    from kalle_tpu.ops.quant import fuse_decode_params
+
+    cfg, params, prompts = _setup()
+    cb = ContinuousBatcher(fuse_decode_params(params), cfg, batch_size=2,
+                           max_frames=MAXF, prompt_buckets=(8, 16),
+                           greedy=True)
+    comps = {c.index: c for c in cb.run(prompts)}
+    for i, ids in enumerate(prompts):
+        res = generate(params, cfg, jnp.asarray(ids[None]),
+                       jnp.ones((1, len(ids)), jnp.int32), jax.random.key(9),
+                       max_frames=MAXF, end_kl_threshold=-1.0, greedy=True)
+        n = int(res.n_frames[0])
+        np.testing.assert_allclose(comps[i].means,
+                                   np.asarray(res.means[0, :n], np.float32),
+                                   rtol=2e-3, atol=2e-4)

@@ -40,6 +40,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--fused", action="store_true",
+                    help="fused wqkv/wgu decode weight layout")
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -52,7 +54,8 @@ def main():
 
     from __graft_entry__ import _flagship_cfg
     from kalle_tpu.models.lm import llama, llasa
-    from kalle_tpu.ops.quant import maybe_matmul, quantize_llama_params
+    from kalle_tpu.ops.quant import (fuse_decode_params, maybe_matmul,
+                                     quantize_llama_params)
 
     cfg = _flagship_cfg()
     lcfg = cfg.llama
@@ -61,6 +64,8 @@ def main():
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     if args.int8:
         params = quantize_llama_params(params)
+    if args.fused:
+        params = fuse_decode_params(params)
 
     layers = params["llama"]["layers"]
 
@@ -77,13 +82,22 @@ def main():
         layers = params["llama"]["layers"]
 
         def one(x, lp):
-            q = maybe_matmul(x, lp["wq"])
-            k = maybe_matmul(x, lp["wk"])
-            v = maybe_matmul(x, lp["wv"])
-            x = x + maybe_matmul(q, lp["wo"])
-            g = jax.nn.silu(maybe_matmul(x, lp["wg"]))
-            u = maybe_matmul(x, lp["wu"])
-            x = x + maybe_matmul(g * u, lp["wd"]) + k.sum() + v.sum()
+            if "wqkv" in lp:
+                qkv = maybe_matmul(x, lp["wqkv"])
+                q, kv = qkv[:, :2048], qkv[:, 2048:]
+                x = x + maybe_matmul(q, lp["wo"])
+                gu = maybe_matmul(x, lp["wgu"])
+                g, u = jnp.split(gu, 2, axis=-1)
+                x = (x + maybe_matmul(jax.nn.silu(g) * u, lp["wd"])
+                     + kv.sum())
+            else:
+                q = maybe_matmul(x, lp["wq"])
+                k = maybe_matmul(x, lp["wk"])
+                v = maybe_matmul(x, lp["wv"])
+                x = x + maybe_matmul(q, lp["wo"])
+                g = jax.nn.silu(maybe_matmul(x, lp["wg"]))
+                u = maybe_matmul(x, lp["wu"])
+                x = x + maybe_matmul(g * u, lp["wd"]) + k.sum() + v.sum()
             return x, None
 
         def step(i, x):
@@ -193,6 +207,8 @@ def main():
 
         return run
 
+    if args.fused:
+        return  # the standalone carry-cache replica below is unfused-only
     for cache_len, label in ((32 + 128, "carry-cache step (cache 160)"),
                              (1024, "carry-cache step (cache 1024)")):
         run = make_step_carry(cache_len)

@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--codec-config", default="")
     ap.add_argument("--codec-ckpt", default="")
     ap.add_argument("--platform", default="")
+    ap.add_argument("--fused", action="store_true",
+                    help="fused wqkv/wgu decode weight layout — wins at "
+                         "long KV caches (+22%% at 1024 on v5e), loses at "
+                         "short ones (-15%% at 160); use for long-context "
+                         "serving")
     ap.add_argument("--int8", action="store_true",
                     help="int8 weight-only LM decode (quality-gated by "
                          "tests/test_quant.py on a trained model)")
@@ -66,6 +71,10 @@ def main():
         from kalle_tpu.ops.quant import quantize_llama_params
 
         params = quantize_llama_params(params)
+    if args.fused:
+        from kalle_tpu.ops.quant import fuse_decode_params
+
+        params = fuse_decode_params(params)
     if args.codec_config and args.codec_ckpt:
         codec = Codec.load(args.codec_kind, args.codec_config, args.codec_ckpt)
     else:
