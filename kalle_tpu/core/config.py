@@ -56,6 +56,11 @@ class LlamaConfig:
     # mesh has a `pp` axis (parallel/pipeline.py). Per-device batch must be
     # divisible by it; bubble fraction = (pp-1)/(pp_microbatches+pp-1).
     pp_microbatches: int = 4
+    # fused Pallas decode attention over the KV cache (TPU, t=1, cache_len
+    # % 128 == 0 — callers round the cache up; ops/pallas/decode_attention
+    # .py). Measured on v5e b=32: ~+11% per attention call at cache 256,
+    # +34% at 1024 over the XLA lowering.
+    use_decode_attention: bool = True
 
     @staticmethod
     def tiny(vocab_size: int = 300) -> "LlamaConfig":

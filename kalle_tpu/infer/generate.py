@@ -88,6 +88,9 @@ def generate(
 
     tl = 0 if prompt_latents is None else prompt_latents.shape[1]
     cache_len = cache_len or (tp + tl + max_frames)
+    # round up so the Pallas decode-attention kernel can block the cache
+    # (extra slots are masked off; ops/pallas/decode_attention.py)
+    cache_len = -(-cache_len // 128) * 128
 
     # ---- prefill ----
     text_embed = llama.embed_tokens(params["llama"], input_ids, lcfg)

@@ -31,14 +31,14 @@ import numpy as np
 
 from ..core.config import LlasaConfig
 from ..models.lm import llama, llasa
-from ..ops.attention import mha
+from ..ops.attention import mha_t
 from ..ops.quant import maybe_matmul
 from .generate import _head_step
 
 
 class ServeState(NamedTuple):
-    k: jnp.ndarray            # (L, B, C, n_kv, hd)
-    v: jnp.ndarray            # (L, B, C, n_kv, hd)
+    k: jnp.ndarray            # (L, B, n_kv, hd, C) — transposed keys
+    v: jnp.ndarray            # (L, B, n_kv, C, hd)   (llama.KVCache layout)
     valid: jnp.ndarray        # (B, C) bool — attendable cache slots
     length: jnp.ndarray       # (B,) int32 — next write slot per row
     pos: jnp.ndarray          # (B,) int32 — next local RoPE position
@@ -55,11 +55,11 @@ def init_state(cfg: LlasaConfig, batch_size: int, cache_len: int,
                max_frames: int) -> ServeState:
     lcfg = cfg.llama
     dt = jnp.dtype(lcfg.dtype)
-    kv = (lcfg.num_layers, batch_size, cache_len, lcfg.num_kv_heads,
-          lcfg.head_dim)
+    L, nkv, hd = lcfg.num_layers, lcfg.num_kv_heads, lcfg.head_dim
     d = cfg.latent_dim
     return ServeState(
-        k=jnp.zeros(kv, dt), v=jnp.zeros(kv, dt),
+        k=jnp.zeros((L, batch_size, nkv, hd, cache_len), dt),
+        v=jnp.zeros((L, batch_size, nkv, cache_len, hd), dt),
         valid=jnp.zeros((batch_size, cache_len), bool),
         length=jnp.zeros((batch_size,), jnp.int32),
         pos=jnp.zeros((batch_size,), jnp.int32),
@@ -102,8 +102,8 @@ def insert(state: ServeState, row: jnp.ndarray, row_k: jnp.ndarray,
            n_tokens: jnp.ndarray, max_frames: int) -> ServeState:
     """Splice a prefilled request into batch row `row`. The prompt occupies
     slots [0, bucket); generation continues at slot `bucket`."""
-    bucket = row_k.shape[2]
-    C = state.k.shape[2]
+    bucket = row_k.shape[-1]
+    C = state.k.shape[-1]
     k = jax.lax.dynamic_update_slice(state.k, row_k.astype(state.k.dtype),
                                      (0, row, 0, 0, 0))
     v = jax.lax.dynamic_update_slice(state.v, row_v.astype(state.v.dtype),
@@ -134,13 +134,14 @@ def insert(state: ServeState, row: jnp.ndarray, row_k: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _decode_layer(cfg, x, lp, cos, sin, k_full, v_full, li, lengths, mask):
-    """x (B,1,h); k_full/v_full (L,B,C,nkv,hd); writes each row's new KV at
-    its own slot IN PLACE on the full layer-stacked cache (scatter over
-    rows at layer index li) — the continuous-batching variant of
-    llama._layer. The full cache rides the scan carry so XLA aliases the
-    buffer instead of materializing fresh per-layer cache copies each step
-    (same restructure as llama.forward_with_cache; measured 6.0 -> 4.2
-    ms/step on v5e b=32 int8)."""
+    """x (B,1,h); k_full (L,B,nkv,hd,C) / v_full (L,B,nkv,C,hd) (the
+    llama.KVCache decode layouts); writes each row's new KV at its own slot
+    IN PLACE on the full layer-stacked cache (scatter over rows at layer
+    index li) — the continuous-batching variant of llama._layer. The full
+    cache rides the scan carry so XLA aliases the buffer instead of
+    materializing fresh per-layer cache copies each step (same restructure
+    as llama.forward_with_cache). Attention runs through the fused Pallas
+    decode kernel on TPU when the cache length is 128-aligned."""
     dt = x.dtype
     B = x.shape[0]
     nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -160,10 +161,21 @@ def _decode_layer(cfg, x, lp, cos, sin, k_full, v_full, li, lengths, mask):
 
     rows = jnp.arange(B)
     # frozen rows overwrite their own slot harmlessly (masked out of valid)
-    k_full = k_full.at[li, rows, lengths].set(k[:, 0].astype(k_full.dtype))
-    v_full = v_full.at[li, rows, lengths].set(v[:, 0].astype(v_full.dtype))
-    attn = mha(q, jax.lax.dynamic_index_in_dim(k_full, li, 0, False),
-               jax.lax.dynamic_index_in_dim(v_full, li, 0, False), mask)
+    k_full = k_full.at[li, rows, :, :, lengths].set(
+        k[:, 0].astype(k_full.dtype))
+    v_full = v_full.at[li, rows, :, lengths, :].set(
+        v[:, 0].astype(v_full.dtype))
+    C = k_full.shape[-1]
+    if (cfg.use_decode_attention and C % 128 == 0
+            and jax.default_backend() == "tpu"):
+        from ..ops.pallas.decode_attention import decode_attention_cached
+
+        attn = decode_attention_cached(q[:, 0], k_full, v_full, li,
+                                       mask[:, 0, 0, :])[:, None]
+    else:
+        kt_l = jax.lax.dynamic_index_in_dim(k_full, li, 0, False)
+        vt_l = jax.lax.dynamic_index_in_dim(v_full, li, 0, False)
+        attn = mha_t(q, kt_l, vt_l, mask)
 
     x = x + maybe_matmul(attn.reshape(B, 1, nq * hd), lp["wo"])
     mlp_in = llama.rms_norm(x, lp["mlp_norm"].astype(dt), cfg.rms_norm_eps)
@@ -296,7 +308,8 @@ class ContinuousBatcher:
         self.B = batch_size
         self.max_frames = max_frames
         self.buckets = tuple(sorted(prompt_buckets))
-        cache_len = self.buckets[-1] + max_frames + 1
+        # 128-aligned so the Pallas decode-attention kernel can block it
+        cache_len = -(-(self.buckets[-1] + max_frames + 1) // 128) * 128
         self.state = init_state(cfg, batch_size, cache_len, max_frames)
         self.rng = jax.random.key(seed)
         self.row_req: List[Optional[int]] = [None] * batch_size

@@ -21,23 +21,33 @@ import jax
 import jax.numpy as jnp
 
 from ...core.config import LlamaConfig
-from ...ops.attention import make_causal_padding_mask, mha
+from ...ops.attention import make_causal_padding_mask, mha, mha_t
 
 
 class KVCache(NamedTuple):
-    """Per-model KV cache: stacked over layers, static max_len."""
+    """Per-model KV cache: stacked over layers, static max_len.
 
-    k: jnp.ndarray  # (L, b, max_len, n_kv, head_dim)
-    v: jnp.ndarray  # (L, b, max_len, n_kv, head_dim)
+    Layout is attention-kernel-native (ops.pallas.decode_attention): keys
+    are stored TRANSPOSED per head so the t=1 decode QK^T needs no
+    in-kernel transpose, and values keep (seq, head_dim) minor dims for
+    the PV matmul. The XLA path reads the same layout via ops.attention
+    .mha_t."""
+
+    k: jnp.ndarray  # (L, b, n_kv, head_dim, max_len) — transposed keys
+    v: jnp.ndarray  # (L, b, n_kv, max_len, head_dim)
     length: jnp.ndarray  # () int32 — number of valid positions
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[-1]
 
     @staticmethod
     def zeros(cfg: LlamaConfig, batch: int, max_len: int, dtype=None) -> "KVCache":
         dtype = dtype or jnp.dtype(cfg.dtype)
-        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        nkv, hd, L = cfg.num_kv_heads, cfg.head_dim, cfg.num_layers
         return KVCache(
-            k=jnp.zeros(shape, dtype),
-            v=jnp.zeros(shape, dtype),
+            k=jnp.zeros((L, batch, nkv, hd, max_len), dtype),
+            v=jnp.zeros((L, batch, nkv, max_len, hd), dtype),
             length=jnp.zeros((), jnp.int32),
         )
 
@@ -180,13 +190,28 @@ def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, cache_kv=None,
         return mlp(x), (k, v)
 
     if cache_kv is not None:
+        # cache layouts: k (L,b,nkv,hd,C) transposed, v (L,b,nkv,C,hd)
         k_full, v_full, li = cache_kv
         k_full = jax.lax.dynamic_update_slice(
-            k_full, k[None].astype(k_full.dtype), (li, 0, cache_len, 0, 0))
+            k_full, jnp.transpose(k, (0, 2, 3, 1))[None].astype(k_full.dtype),
+            (li, 0, 0, 0, cache_len))
         v_full = jax.lax.dynamic_update_slice(
-            v_full, v[None].astype(v_full.dtype), (li, 0, cache_len, 0, 0))
-        attn = mha(q, jax.lax.dynamic_index_in_dim(k_full, li, 0, False),
-                   jax.lax.dynamic_index_in_dim(v_full, li, 0, False), mask)
+            v_full, jnp.transpose(v, (0, 2, 1, 3))[None].astype(v_full.dtype),
+            (li, 0, 0, cache_len, 0))
+        c = k_full.shape[-1]
+        if (t == 1 and cfg.use_decode_attention and c % 128 == 0
+                and jax.default_backend() == "tpu"):
+            # fused kernel reads layer li of the FULL cache via
+            # scalar-prefetch — no XLA gather copy of the layer slice
+            from ...ops.pallas.decode_attention import (
+                decode_attention_cached)
+
+            attn = decode_attention_cached(q[:, 0], k_full, v_full, li,
+                                           mask[:, 0, 0, :])[:, None]
+        else:
+            kt_l = jax.lax.dynamic_index_in_dim(k_full, li, 0, False)
+            vt_l = jax.lax.dynamic_index_in_dim(v_full, li, 0, False)
+            attn = mha_t(q, kt_l, vt_l, mask)
         new_kv = (k_full, v_full)
     else:
         attn = mha(q, k, v, mask)
@@ -279,7 +304,7 @@ def forward_with_cache(
     dt = jnp.dtype(cfg.dtype)
     x = inputs_embeds.astype(dt)
     b, t, _ = x.shape
-    max_len = cache.k.shape[2]
+    max_len = cache.max_len
 
     slots = cache.length + jnp.arange(t)
     if positions is None:

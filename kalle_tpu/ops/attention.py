@@ -58,3 +58,31 @@ def mha(
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bkgqs,bskd->bqkgd", probs.astype(v.dtype), v)
     return out.reshape(b, t_q, n_heads, head_dim)
+
+
+def mha_t(
+    q: jnp.ndarray,   # (b, t_q, n_heads, head_dim)
+    kt: jnp.ndarray,  # (b, n_kv, head_dim, t_kv) — decode-cache K layout
+    vt: jnp.ndarray,  # (b, n_kv, t_kv, head_dim)
+    mask: Optional[jnp.ndarray] = None,  # (b, 1, t_q, t_kv) bool
+) -> jnp.ndarray:
+    """mha on the decode-cache layouts (K transposed per head — the layout
+    ops.pallas.decode_attention streams; this is the XLA prefill/CPU path
+    over the same cache). Identical math to mha."""
+    b, t_q, n_heads, head_dim = q.shape
+    n_kv = kt.shape[1]
+    groups = n_heads // n_kv
+    scale = head_dim ** -0.5
+
+    out_dtype = q.dtype
+    if jax.default_backend() == "cpu" and q.dtype == jnp.bfloat16:
+        # CPU DotThunk can't do BF16 x BF16 -> F32 for this contraction
+        q, kt, vt = (x.astype(jnp.float32) for x in (q, kt, vt))
+    q = q.reshape(b, t_q, n_kv, groups, head_dim)
+    scores = jnp.einsum("bqkgd,bkds->bkgqs", q, kt,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        scores = jnp.where(mask[:, :, None, :, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkgqs,bksd->bqkgd", probs.astype(vt.dtype), vt)
+    return out.reshape(b, t_q, n_heads, head_dim).astype(out_dtype)

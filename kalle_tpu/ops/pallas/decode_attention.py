@@ -1,0 +1,178 @@
+"""Fused single-frame (t=1) decode attention over the KV cache.
+
+Why: the AR decode step is HBM-bound streaming ~1 GB of weights, but the
+XLA lowering of cached attention (gather layer slice -> GQA einsum ->
+masked f32 softmax -> einsum) costs ~107 us/layer at batch 32 / cache 160
+on v5e — 1.7 ms of the 3.5 ms step, nearly all op overhead: the KV data
+itself is only ~10 MB/layer (~13 us at peak BW). This kernel fuses the
+whole thing into ONE Pallas pass per layer: flash-style online softmax over
+cache blocks in VMEM, one launch replacing ~10 XLA ops. (Replaces the
+reference's flash-attention-2 decode dependency, ref model.py:20-23 — the
+reference has no decode cache at all and re-forwards the prefix per frame,
+model_sigmaVAE.py:123-124.)
+
+Mosaic-lowering ground rules this kernel is built around (hard-won — the
+naive broadcast/reshape formulations die with "unsupported shape cast" /
+"index not a multiple of 128" on real TPU even though interpret mode
+passes):
+  * no reshapes/broadcasts that change the tiled (last-two) dims: only
+    leading-dim squeezes/expands, lane-dim keepdims reductions, and lane
+    broadcasts from size 1;
+  * matmuls in standard batched (batch..., m, k) x (batch..., k, n) form —
+    hence the cache stores K TRANSPOSED per head, (.., nkv, hd, C), so
+    QK^T needs no in-kernel transpose, and V as (.., nkv, C, hd);
+  * blocked lane dims must be 128-aligned -> C (cache length) must be a
+    multiple of 128 (callers round the cache up; extra slots are masked);
+  * softmax stats live lane-replicated at width 128 (the C-block width).
+
+GQA layout matches ops.attention.mha: q head h uses kv head h // ghd.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+BLOCK_C = 128
+
+
+def _kernel(li_ref, q_ref, kt_ref, v_ref, mask_ref, o_ref, m_ref, l_ref,
+            acc_ref, *, hd: int):
+    del li_ref  # consumed by the BlockSpec index maps (layer selection)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # keep MXU inputs in their storage dtype (bf16) with f32 accumulation —
+    # casting whole K/V blocks to f32 on the VPU costs more than the
+    # matmuls. tpu.matmul supports only ONE batch dim, so (B, nkvb) merges
+    # into a single leading batch dim (leading-dim reshapes are free).
+    _, b, nkvb, ghd, _ = q_ref.shape
+    cb = v_ref.shape[3]
+    bn = b * nkvb
+    q = q_ref[:].reshape(bn, ghd, hd)
+    kt = kt_ref[:].reshape(bn, hd, cb)
+    v = v_ref[:].reshape(bn, cb, hd)
+    msk = mask_ref[:]                          # (B, ghd, Cb) f32
+    msk = jnp.broadcast_to(msk[:, None], (b, nkvb, ghd, cb)).reshape(
+        bn, ghd, cb)
+
+    s = jax.lax.dot_general(
+        q, kt, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * (hd ** -0.5)  # (BN, ghd, Cb)
+    s = s + (msk - 1.0) * (-NEG_INF)           # 0 valid, NEG_INF masked
+
+    m_prev = m_ref[:]                          # (BN, ghd, Cb) lane-replicated
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    corr = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)                     # (BN, ghd, Cb)
+    l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[:] = m_new
+
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)    # (BN, ghd, hd)
+    acc_ref[:] = acc_ref[:] * corr[..., :1] + pv
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        l = jnp.maximum(l_ref[:][..., :1], 1e-30)  # all-masked row guard
+        o_ref[:] = (acc_ref[:] / l).reshape(1, b, nkvb, ghd, hd).astype(
+            o_ref.dtype)
+
+
+def _pick_blocks(b, nkv, ghd, hd, c):
+    """(nkvb, cb): kv heads and cache columns per grid step. Fewer grid
+    steps amortize the per-step DMA/semaphore overhead — the dominant cost
+    at these tiny shapes — under a VMEM budget for the double-buffered
+    k/v blocks (2 bufs x 2 tensors x b*nkvb*hd*cb bf16 <= ~10 MB)."""
+    budget = 10 << 20
+    # ladder ordered by v5e measurement (b=32 flagship): (2, 256) beat
+    # (4, 128) at both cache 256 (107 vs 120+ us) and 1024 (155 us)
+    for nkvb, cb in ((2, 256), (4, 128), (2, 128), (1, 128)):
+        if nkv % nkvb or c % cb:
+            continue
+        if 4 * b * nkvb * hd * cb * 2 <= budget:
+            return (nkvb, cb)
+    return (1, BLOCK_C)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "blocks"))
+def decode_attention_cached(q: jnp.ndarray, k_full: jnp.ndarray,
+                            v_full: jnp.ndarray, li, mask: jnp.ndarray,
+                            interpret: bool = False,
+                            blocks=None) -> jnp.ndarray:
+    """One decode frame of GQA attention, reading layer `li` of the FULL
+    layer-stacked cache directly (the layer index rides a scalar-prefetch
+    into the BlockSpec index maps, so there is NO XLA gather copy of the
+    layer slice — at batch 32 / cache 1024 that gather alone is 67 MB =
+    ~82 us per layer).
+
+    q      (B, nq, hd)          current queries, RoPE applied
+    k_full (L, B, nkv, hd, C)   keys TRANSPOSED per head (roped), C % 128 == 0
+    v_full (L, B, nkv, C, hd)
+    li     () int32             layer index
+    mask   (B, C)               bool/0-1, True = may attend
+    ->     (B, nq, hd)
+    blocks: optional (nkvb, cb) grid-block override for tuning.
+    """
+    b, nq, hd = q.shape
+    _, _, nkv, _, c = k_full.shape
+    ghd = nq // nkv
+    assert c % BLOCK_C == 0, f"cache length {c} must be a multiple of 128"
+    nkvb, cb = blocks or _pick_blocks(b, nkv, ghd, hd, c)
+
+    # mask pre-broadcast over ghd so the kernel never relayouts it
+    mask3 = jnp.broadcast_to(mask.astype(jnp.float32)[:, None, :],
+                             (b, ghd, c))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nkv // nkvb, c // cb),
+        in_specs=[
+            pl.BlockSpec((1, b, nkvb, ghd, hd),
+                         lambda g, j, li: (0, 0, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, nkvb, hd, cb),
+                         lambda g, j, li: (li[0], 0, g, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, nkvb, cb, hd),
+                         lambda g, j, li: (li[0], 0, g, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, ghd, cb), lambda g, j, li: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, b, nkvb, ghd, hd),
+                               lambda g, j, li: (0, 0, g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((b * nkvb, ghd, cb), jnp.float32),  # running max
+            pltpu.VMEM((b * nkvb, ghd, cb), jnp.float32),  # running denom
+            pltpu.VMEM((b * nkvb, ghd, hd), jnp.float32),  # out accumulator
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, hd=hd),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, b, nkv, ghd, hd), q.dtype),
+        interpret=interpret,
+    )(jnp.asarray(li, jnp.int32).reshape(1),
+      q.reshape(1, b, nkv, ghd, hd), k_full, v_full, mask3)
+    return out.reshape(b, nq, hd)
+
+
+def decode_attention(q: jnp.ndarray, kt: jnp.ndarray, v: jnp.ndarray,
+                     mask: jnp.ndarray, interpret: bool = False,
+                     blocks=None) -> jnp.ndarray:
+    """Single-layer convenience wrapper: kt (B, nkv, hd, C) /
+    v (B, nkv, C, hd) -> (B, nq, hd). See decode_attention_cached."""
+    return decode_attention_cached(q, kt[None], v[None], 0, mask,
+                                   interpret=interpret, blocks=blocks)

@@ -136,7 +136,7 @@ def main():
         return run
 
     emb0 = jnp.ones((B, 1, lcfg.hidden_size), jnp.bfloat16)
-    for cache_len, label in ((32 + 128, "step (cache 160)"),
+    for cache_len, label in ((256, "step (cache 256)"),
                              (1024, "step (cache 1024)")):
         run = make_step(cache_len)
         dt = bench(lambda r=run: np.asarray(r(params, emb0)))
