@@ -119,7 +119,7 @@ def generate(
     positions = jnp.arange(t_pre)[None, :] - n_pads[:, None]
     positions = jnp.maximum(positions, 0)
 
-    cache = llama.KVCache.zeros(lcfg, b, cache_len, dtype=dt)
+    cache = llama.KVCache.zeros(lcfg, b, cache_len)  # dtype from cfg (int8 opt)
     valid = jnp.zeros((b, cache_len), bool).at[:, :t_pre].set(pmask)
     hidden, cache = llama.forward_with_cache(
         params["llama"], lcfg, embeds, cache,

@@ -31,11 +31,21 @@ class KVCache(NamedTuple):
     are stored TRANSPOSED per head so the t=1 decode QK^T needs no
     in-kernel transpose, and values keep (seq, head_dim) minor dims for
     the PV matmul. The XLA path reads the same layout via ops.attention
-    .mha_t."""
+    .mha_t.
+
+    int8 mode (cfg.kv_cache_dtype == "int8"): k/v hold int8 with per-
+    (token, kv-head) absmax scales — halves KV HBM traffic and doubles the
+    servable context. The scale tensors carry a broadcast-ready singleton
+    dim so the decode kernel multiplies them in without any relayout:
+    scores pick up k_scale POST-matmul (per score column), and v_scale
+    folds into the probabilities PRE-matmul — int8 never materializes as
+    dequantized f32 in HBM."""
 
     k: jnp.ndarray  # (L, b, n_kv, head_dim, max_len) — transposed keys
     v: jnp.ndarray  # (L, b, n_kv, max_len, head_dim)
     length: jnp.ndarray  # () int32 — number of valid positions
+    k_scale: Optional[jnp.ndarray] = None  # (L, b, n_kv, 1, max_len) f32
+    v_scale: Optional[jnp.ndarray] = None  # (L, b, n_kv, 1, max_len) f32
 
     @property
     def max_len(self) -> int:
@@ -43,13 +53,27 @@ class KVCache(NamedTuple):
 
     @staticmethod
     def zeros(cfg: LlamaConfig, batch: int, max_len: int, dtype=None) -> "KVCache":
-        dtype = dtype or jnp.dtype(cfg.dtype)
         nkv, hd, L = cfg.num_kv_heads, cfg.head_dim, cfg.num_layers
+        int8 = dtype is None and cfg.kv_cache_dtype == "int8"
+        dtype = jnp.int8 if int8 else (dtype or jnp.dtype(cfg.dtype))
         return KVCache(
             k=jnp.zeros((L, batch, nkv, hd, max_len), dtype),
             v=jnp.zeros((L, batch, nkv, max_len, hd), dtype),
             length=jnp.zeros((), jnp.int32),
+            k_scale=(jnp.zeros((L, batch, nkv, 1, max_len), jnp.float32)
+                     if int8 else None),
+            v_scale=(jnp.zeros((L, batch, nkv, 1, max_len), jnp.float32)
+                     if int8 else None),
         )
+
+
+def _quantize_kv(x: jnp.ndarray):
+    """x (b, t, n_kv, hd) -> (int8 same shape, scale (b, t, n_kv, 1))."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 # ---------------------------------------------------------------------------
@@ -190,14 +214,26 @@ def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, cache_kv=None,
         return mlp(x), (k, v)
 
     if cache_kv is not None:
-        # cache layouts: k (L,b,nkv,hd,C) transposed, v (L,b,nkv,C,hd)
-        k_full, v_full, li = cache_kv
+        # cache layouts: k (L,b,nkv,hd,C) transposed, v (L,b,nkv,C,hd);
+        # optional int8 mode with per-(token, head) scales (L,b,nkv,1,C)
+        k_full, v_full, ks_full, vs_full, li = cache_kv
+        if ks_full is not None:
+            k_st, ks = _quantize_kv(k)
+            v_st, vs = _quantize_kv(v)
+            ks_full = jax.lax.dynamic_update_slice(
+                ks_full, jnp.transpose(ks, (0, 2, 3, 1))[None],
+                (li, 0, 0, 0, cache_len))
+            vs_full = jax.lax.dynamic_update_slice(
+                vs_full, jnp.transpose(vs, (0, 2, 3, 1))[None],
+                (li, 0, 0, 0, cache_len))
+        else:
+            k_st, v_st = k, v
         k_full = jax.lax.dynamic_update_slice(
-            k_full, jnp.transpose(k, (0, 2, 3, 1))[None].astype(k_full.dtype),
-            (li, 0, 0, 0, cache_len))
+            k_full, jnp.transpose(k_st, (0, 2, 3, 1))[None].astype(
+                k_full.dtype), (li, 0, 0, 0, cache_len))
         v_full = jax.lax.dynamic_update_slice(
-            v_full, jnp.transpose(v, (0, 2, 1, 3))[None].astype(v_full.dtype),
-            (li, 0, 0, cache_len, 0))
+            v_full, jnp.transpose(v_st, (0, 2, 1, 3))[None].astype(
+                v_full.dtype), (li, 0, 0, cache_len, 0))
         c = k_full.shape[-1]
         if (t == 1 and cfg.use_decode_attention and c % 128 == 0
                 and jax.default_backend() == "tpu"):
@@ -206,13 +242,20 @@ def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, cache_kv=None,
             from ...ops.pallas.decode_attention import (
                 decode_attention_cached)
 
-            attn = decode_attention_cached(q[:, 0], k_full, v_full, li,
-                                           mask[:, 0, 0, :])[:, None]
+            attn = decode_attention_cached(
+                q[:, 0], k_full, v_full, li, mask[:, 0, 0, :],
+                k_scale=ks_full, v_scale=vs_full)[:, None]
         else:
             kt_l = jax.lax.dynamic_index_in_dim(k_full, li, 0, False)
             vt_l = jax.lax.dynamic_index_in_dim(v_full, li, 0, False)
+            if ks_full is not None:
+                ks_l = jax.lax.dynamic_index_in_dim(ks_full, li, 0, False)
+                vs_l = jax.lax.dynamic_index_in_dim(vs_full, li, 0, False)
+                kt_l = (kt_l.astype(jnp.float32) * ks_l).astype(dt)
+                vt_l = (vt_l.astype(jnp.float32)
+                        * jnp.swapaxes(vs_l, -1, -2)).astype(dt)
             attn = mha_t(q, kt_l, vt_l, mask)
-        new_kv = (k_full, v_full)
+        new_kv = (k_full, v_full, ks_full, vs_full)
     else:
         attn = mha(q, k, v, mask)
         new_kv = (k, v)
@@ -328,14 +371,16 @@ def forward_with_cache(
     # scan-ys cache arrays (measured on v5e, b=32 int8 decode: 6.0 -> 4.2
     # ms/step at cache 160; 11.7 -> 7.3 at cache 1024).
     def body(carry, layer_in):
-        x, k_full, v_full = carry
+        x, k_full, v_full, ks, vs = carry
         li, lp = layer_in
-        x, (k_full, v_full) = _layer(cfg, x, lp, cos, sin, mask,
-                                     (k_full, v_full, li), cache.length)
-        return (x, k_full, v_full), None
+        x, (k_full, v_full, ks, vs) = _layer(
+            cfg, x, lp, cos, sin, mask, (k_full, v_full, ks, vs, li),
+            cache.length)
+        return (x, k_full, v_full, ks, vs), None
 
-    (x, new_k, new_v), _ = jax.lax.scan(
-        body, (x, cache.k, cache.v),
+    (x, new_k, new_v, new_ks, new_vs), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v, cache.k_scale, cache.v_scale),
         (jnp.arange(cfg.num_layers), params["layers"]))
     x = rms_norm(x, params["final_norm"].astype(dt), cfg.rms_norm_eps)
-    return x, KVCache(k=new_k, v=new_v, length=cache.length + t)
+    return x, KVCache(k=new_k, v=new_v, length=cache.length + t,
+                      k_scale=new_ks, v_scale=new_vs)

@@ -40,9 +40,13 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 BLOCK_C = 128
 
 
-def _kernel(li_ref, q_ref, kt_ref, v_ref, mask_ref, o_ref, m_ref, l_ref,
-            acc_ref, *, hd: int):
+def _kernel(li_ref, q_ref, kt_ref, v_ref, mask_ref, *rest, hd: int,
+            quant: bool):
     del li_ref  # consumed by the BlockSpec index maps (layer selection)
+    if quant:
+        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        o_ref, m_ref, l_ref, acc_ref = rest
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -61,6 +65,9 @@ def _kernel(li_ref, q_ref, kt_ref, v_ref, mask_ref, o_ref, m_ref, l_ref,
     q = q_ref[:].reshape(bn, ghd, hd)
     kt = kt_ref[:].reshape(bn, hd, cb)
     v = v_ref[:].reshape(bn, cb, hd)
+    if quant:  # int8 cache: dequant K via the score columns, V via p
+        kt = kt.astype(q.dtype)
+        v = v.astype(q.dtype)
     msk = mask_ref[:]                          # (B, ghd, Cb) f32
     msk = jnp.broadcast_to(msk[:, None], (b, nkvb, ghd, cb)).reshape(
         bn, ghd, cb)
@@ -68,6 +75,8 @@ def _kernel(li_ref, q_ref, kt_ref, v_ref, mask_ref, o_ref, m_ref, l_ref,
     s = jax.lax.dot_general(
         q, kt, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * (hd ** -0.5)  # (BN, ghd, Cb)
+    if quant:
+        s = s * ks_ref[:].reshape(bn, 1, cb)   # per-column K scale
     s = s + (msk - 1.0) * (-NEG_INF)           # 0 valid, NEG_INF masked
 
     m_prev = m_ref[:]                          # (BN, ghd, Cb) lane-replicated
@@ -77,6 +86,8 @@ def _kernel(li_ref, q_ref, kt_ref, v_ref, mask_ref, o_ref, m_ref, l_ref,
     l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
     m_ref[:] = m_new
 
+    if quant:  # fold the per-token V scale into the probabilities
+        p = p * vs_ref[:].reshape(bn, 1, cb)
     pv = jax.lax.dot_general(
         p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)    # (BN, ghd, hd)
@@ -108,6 +119,7 @@ def _pick_blocks(b, nkv, ghd, hd, c):
 @functools.partial(jax.jit, static_argnames=("interpret", "blocks"))
 def decode_attention_cached(q: jnp.ndarray, k_full: jnp.ndarray,
                             v_full: jnp.ndarray, li, mask: jnp.ndarray,
+                            k_scale=None, v_scale=None,
                             interpret: bool = False,
                             blocks=None) -> jnp.ndarray:
     """One decode frame of GQA attention, reading layer `li` of the FULL
@@ -121,6 +133,8 @@ def decode_attention_cached(q: jnp.ndarray, k_full: jnp.ndarray,
     v_full (L, B, nkv, C, hd)
     li     () int32             layer index
     mask   (B, C)               bool/0-1, True = may attend
+    k_scale, v_scale            optional (L, B, nkv, 1, C) f32 — int8-cache
+                                per-(token, head) scales (k/v int8 then)
     ->     (B, nq, hd)
     blocks: optional (nkvb, cb) grid-block override for tuning.
     """
@@ -133,23 +147,34 @@ def decode_attention_cached(q: jnp.ndarray, k_full: jnp.ndarray,
     # mask pre-broadcast over ghd so the kernel never relayouts it
     mask3 = jnp.broadcast_to(mask.astype(jnp.float32)[:, None, :],
                              (b, ghd, c))
+    quant = k_scale is not None
+
+    in_specs = [
+        pl.BlockSpec((1, b, nkvb, ghd, hd),
+                     lambda g, j, li: (0, 0, g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, b, nkvb, hd, cb),
+                     lambda g, j, li: (li[0], 0, g, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, b, nkvb, cb, hd),
+                     lambda g, j, li: (li[0], 0, g, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, ghd, cb), lambda g, j, li: (0, 0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [jnp.asarray(li, jnp.int32).reshape(1),
+            q.reshape(1, b, nkv, ghd, hd), k_full, v_full, mask3]
+    if quant:
+        scale_spec = pl.BlockSpec((1, b, nkvb, 1, cb),
+                                  lambda g, j, li: (li[0], 0, g, 0, j),
+                                  memory_space=pltpu.VMEM)
+        in_specs += [scale_spec, scale_spec]
+        args += [k_scale, v_scale]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nkv // nkvb, c // cb),
-        in_specs=[
-            pl.BlockSpec((1, b, nkvb, ghd, hd),
-                         lambda g, j, li: (0, 0, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, nkvb, hd, cb),
-                         lambda g, j, li: (li[0], 0, g, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, nkvb, cb, hd),
-                         lambda g, j, li: (li[0], 0, g, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, ghd, cb), lambda g, j, li: (0, 0, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, b, nkvb, ghd, hd),
                                lambda g, j, li: (0, 0, g, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -160,12 +185,11 @@ def decode_attention_cached(q: jnp.ndarray, k_full: jnp.ndarray,
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, hd=hd),
+        functools.partial(_kernel, hd=hd, quant=quant),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, b, nkv, ghd, hd), q.dtype),
         interpret=interpret,
-    )(jnp.asarray(li, jnp.int32).reshape(1),
-      q.reshape(1, b, nkv, ghd, hd), k_full, v_full, mask3)
+    )(*args)
     return out.reshape(b, nq, hd)
 
 

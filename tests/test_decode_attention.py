@@ -97,3 +97,34 @@ def test_cached_layer_selection():
                                       interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_cached_int8_scales():
+    """int8 K/V with per-(token, head) scales must reproduce the dequantized
+    reference: K scales applied to score columns, V scales folded into p."""
+    from kalle_tpu.ops.pallas.decode_attention import decode_attention_cached
+
+    q, k, v, mask = _case(2, 128, 8, 2, 16, seed=6)
+    kt, vk = _kernel_layout(k, v)
+
+    def quant(x, axis):
+        absmax = np.abs(np.asarray(x)).max(axis=axis, keepdims=True)
+        scale = np.maximum(absmax, 1e-8) / 127.0
+        qx = np.clip(np.round(np.asarray(x) / scale), -127, 127)
+        return jnp.asarray(qx, jnp.int8), jnp.asarray(scale, jnp.float32)
+
+    # kt (B, nkv, hd, C): per-token scale over hd -> (B, nkv, 1, C)
+    kq, ks = quant(kt, axis=2)
+    # v (B, nkv, C, hd): per-token over hd -> (B, nkv, C, 1) -> (B,nkv,1,C)
+    vq, vs = quant(vk, axis=3)
+    vs = jnp.swapaxes(vs, -1, -2)
+
+    deq_k = kq.astype(jnp.float32) * ks
+    deq_v = vq.astype(jnp.float32) * jnp.swapaxes(vs, -1, -2)
+    ref = decode_attention_cached(q, deq_k[None], deq_v[None], 0, mask,
+                                  interpret=True)
+    got = decode_attention_cached(q, kq[None], vq[None], 0, mask,
+                                  k_scale=ks[None], v_scale=vs[None],
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-3)

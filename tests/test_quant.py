@@ -123,3 +123,32 @@ def test_fused_decode_params_exact_parity():
                                    atol=1e-5, rtol=1e-5)
         np.testing.assert_allclose(np.asarray(c_got.k), np.asarray(c_ref.k),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_int8_kv_cache_decode_close():
+    """generate() with an int8 KV cache (kv_cache_dtype='int8') stays close
+    to the bf16-cache decode on the XLA fallback path (CPU)."""
+    import dataclasses
+
+    from kalle_tpu.core.config import LlasaConfig
+    from kalle_tpu.infer.generate import generate
+    from kalle_tpu.models.lm import llasa
+
+    base = LlasaConfig(llama=LlamaConfig.tiny(vocab_size=64), latent_dim=8,
+                       audio_proj_dim=64, head_variant="sigma")
+    params = llasa.init_params(base, jax.random.key(0))
+    ids = jnp.asarray(np.random.default_rng(3).integers(1, 64, (2, 6)))
+    mask = jnp.ones((2, 6), jnp.int32)
+
+    def decode(cfg):
+        res = generate(params, cfg, ids, mask, jax.random.key(2),
+                       max_frames=10, end_kl_threshold=-1.0, greedy=True)
+        return np.asarray(res.means, np.float32)
+
+    dense = decode(base)
+    int8kv = decode(dataclasses.replace(
+        base, llama=dataclasses.replace(base.llama, kv_cache_dtype="int8")))
+    # per-token absmax int8 KV is near-transparent
+    sig = float(np.var(dense)) + 1e-9
+    dev = float(np.mean((dense - int8kv) ** 2))
+    assert dev < 0.02 * sig, (dev, sig)

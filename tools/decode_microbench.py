@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--fused", action="store_true",
                     help="fused wqkv/wgu decode weight layout")
+    ap.add_argument("--int8-kv", action="store_true",
+                    help="int8 KV cache with per-token scales")
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -59,6 +61,10 @@ def main():
 
     cfg = _flagship_cfg()
     lcfg = cfg.llama
+    if args.int8_kv:
+        import dataclasses
+
+        lcfg = dataclasses.replace(lcfg, kv_cache_dtype="int8")
     B, STEPS = args.batch, args.steps
     params = llasa.init_params(cfg, jax.random.key(0))
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
@@ -115,7 +121,7 @@ def main():
     def make_step(cache_len):
         @jax.jit
         def run(params, emb0):
-            cache = llama.KVCache.zeros(lcfg, B, cache_len, dtype=jnp.bfloat16)
+            cache = llama.KVCache.zeros(lcfg, B, cache_len)
             valid = jnp.ones((B, cache_len), bool)
 
             def step(i, carry):
