@@ -166,7 +166,7 @@ def _decode_layer(cfg, x, lp, cos, sin, k_full, v_full, li, lengths, mask):
     v_full = v_full.at[li, rows, :, lengths, :].set(
         v[:, 0].astype(v_full.dtype))
     C = k_full.shape[-1]
-    if (cfg.use_decode_attention and C % 128 == 0
+    if (B >= 16 and cfg.use_decode_attention and C % 128 == 0
             and jax.default_backend() == "tpu"):
         from ..ops.pallas.decode_attention import decode_attention_cached
 
