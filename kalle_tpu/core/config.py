@@ -46,6 +46,11 @@ class LlamaConfig:
     dtype: str = "bfloat16"  # compute dtype (MXU-native)
     param_dtype: str = "float32"  # master params
     remat: bool = False  # jax.checkpoint each layer block
+    # remat policy when remat=True: "full" recomputes everything;
+    # "dots" saves matmul outputs and recomputes only elementwise/norms
+    # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) — most of
+    # the no-remat speed at a fraction of the activation memory
+    remat_policy: str = "full"
     # route full-sequence attention through the Pallas flash kernel (fwd+bwd)
     # when the bucket length is block-aligned; TPU equivalent of the
     # reference's attn_implementation="flash_attention_2" default

@@ -316,7 +316,7 @@ def forward(
             return h, mk
 
         if cfg.remat:
-            pp_layer = jax.checkpoint(pp_layer)
+            pp_layer = jax.checkpoint(pp_layer, policy=_remat_policy(cfg))
         x = pipelined_layer_stack(pp_layer, params["layers"], x, pmask,
                                   n_microbatches=cfg.pp_microbatches)
         return rms_norm(x, params["final_norm"].astype(dt), cfg.rms_norm_eps)
@@ -328,9 +328,15 @@ def forward(
         return x, None
 
     if cfg.remat:
-        body = jax.checkpoint(body)
+        body = jax.checkpoint(body, policy=_remat_policy(cfg))
     x, _ = jax.lax.scan(body, x, params["layers"])
     return rms_norm(x, params["final_norm"].astype(dt), cfg.rms_norm_eps)
+
+
+def _remat_policy(cfg: LlamaConfig):
+    if cfg.remat_policy == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    return None  # "full": recompute everything
 
 
 def forward_with_cache(

@@ -180,3 +180,28 @@ def test_fsdp_sharded_step_matches_and_shards_memory():
     for a, b in zip(l1, ln):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_remat_dots_policy_matches_full():
+    """remat_policy='dots' must be numerically identical to full remat
+    (both are pure rematerialization strategies)."""
+    import dataclasses
+
+    cfg = LlasaConfig(llama=LlamaConfig.tiny(), latent_dim=8,
+                      audio_proj_dim=64, head_variant="sigma")
+    tcfg = TrainConfig(lr=1e-3, warmup_steps=2, total_steps=100)
+    batch = _tiny_batch(b=4, seed=5)
+    rng = jax.random.key(0)
+
+    def grads(llama_over):
+        c = dataclasses.replace(
+            cfg, llama=dataclasses.replace(cfg.llama, **llama_over))
+        params = llasa.init_params(c, jax.random.key(0))
+        from kalle_tpu.train.step import loss_fn
+        return jax.grad(lambda p: loss_fn(p, c, tcfg, batch, rng)[0])(params)
+
+    g_full = grads({"remat": True, "remat_policy": "full"})
+    g_dots = grads({"remat": True, "remat_policy": "dots"})
+    for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_dots)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Training-step microbenchmark: flagship 1B Llasa on one chip.
+
+Sweeps (batch, bucket, remat, flash) configs through the REAL jitted
+train_step (loss + grads + AdamW update) and prints ms/step, tokens/s and
+MFU (6·N·tokens model FLOPs over v5e bf16 peak 197 TFLOP/s).
+
+Steps run chained inside one jitted fori-style loop per measurement
+(python loop over train_step calls re-uses the donated state; fence =
+host fetch of the loss) — >= 8 iters amortizes the axon RPC overhead.
+
+Usage: python tools/train_microbench.py [--configs b8,t512,remat ...]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PEAK_TFLOPS = 197.0  # v5e bf16
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--configs", nargs="*", default=[
+        "b8,t512,flash",            # round-1 best
+        "b16,t512,flash",
+        "b4,t1024,flash",
+        "b8,t1024,flash,remat",
+        "b2,t2048,flash,remat",
+    ], help="each: b<batch>,t<bucket>[,remat][,flash]")
+    args = ap.parse_args()
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_cfg, _synthetic_batch
+    from kalle_tpu.core.config import TrainConfig
+    from kalle_tpu.models.lm import llasa
+    from kalle_tpu.train.optim import make_optimizer
+    from kalle_tpu.train.step import make_train_state, train_step
+
+    tcfg = TrainConfig(lr=1e-4, warmup_steps=10, total_steps=1000)
+    tx = make_optimizer(tcfg)
+    n_params = 1.23e9  # backbone+heads (embed gather excluded from FLOPs)
+
+    for spec in args.configs:
+        parts = spec.split(",")
+        b = int(parts[0][1:])
+        t = int(parts[1][1:])
+        remat = "remat" in parts or "dots" in parts
+        flash = "flash" in parts
+        cfg = _flagship_cfg()
+        cfg = dataclasses.replace(
+            cfg, llama=dataclasses.replace(
+                cfg.llama, remat=remat, use_flash_attention=flash,
+                remat_policy="dots" if "dots" in parts else "full"))
+
+        params = llasa.init_params(cfg, jax.random.key(0))
+        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+        state = make_train_state(params, tx)
+        batch_np = _synthetic_batch(cfg, b=b, text_len=32, audio_len=t - 64,
+                                    bucket=t)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+                 if isinstance(v, np.ndarray)}
+        rng = jax.random.key(1)
+
+        try:
+            state, m = train_step(state, cfg, tcfg, tx, batch, rng)  # compile
+            float(m["total_loss"])
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                state, m = train_step(state, cfg, tcfg, tx, batch, rng)
+            loss = float(m["total_loss"])  # fence
+            dt = (time.perf_counter() - t0) / args.iters
+        except Exception as e:  # OOM etc.
+            print(f"{spec:28s} FAILED: {type(e).__name__}: {str(e)[:90]}",
+                  flush=True)
+            continue
+        toks = b * t
+        flops = 6 * n_params * toks
+        print(f"{spec:28s} {dt*1e3:7.1f} ms/step  {toks/dt/1e3:7.1f}k tok/s"
+              f"  MFU {flops/dt/1e12/PEAK_TFLOPS*100:5.1f}%"
+              f"  (loss {loss:.3f})", flush=True)
+
+
+if __name__ == "__main__":
+    main()
