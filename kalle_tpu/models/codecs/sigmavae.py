@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops.conv import conv1d, conv_transpose1d
+from ...ops.conv import conv1d, conv_transpose1d_causal
 
 
 @dataclasses.dataclass(frozen=True)
@@ -143,9 +143,9 @@ def init_params(cfg: SigmaVAEConfig, key) -> dict:
 
 
 def _causal_dw(x, p, k):
-    ch = x.shape[-1]
-    x = jnp.pad(x, ((0, 0), (k - 1, 0), (0, 0)))
-    return conv1d(x, p["w"], p["b"], groups=ch)
+    # causal left padding via the conv's own padding arg — a jnp.pad copy
+    # costs a full tensor round-trip at the full-rate stages
+    return conv1d(x, p["w"], p["b"], groups=x.shape[-1], padding=(k - 1, 0))
 
 
 def _block(x, p, cfg):
@@ -172,8 +172,7 @@ def _block(x, p, cfg):
         k = cfg.kernel
         w_eff = p["dw"]["w"].reshape(k, -1, 1) * p["up"]["w"][0][None]
         b_eff = p["up"]["b"] + p["dw"]["b"] @ p["up"]["w"][0]
-        h = jnp.pad(h, ((0, 0), (k - 1, 0), (0, 0)))  # causal
-        h = conv1d(h, w_eff, b_eff)
+        h = conv1d(h, w_eff, b_eff, padding=(k - 1, 0))  # causal
     else:
         h = _causal_dw(h, p["dw"], cfg.kernel)
         h = conv1d(h, p["up"]["w"], p["up"]["b"])
@@ -185,12 +184,12 @@ def _block(x, p, cfg):
 
 def _encode_nwc(params, cfg, x):
     p = params["encoder"]
-    x = jnp.pad(x, ((0, 0), (cfg.kernel - 1, 0), (0, 0)))
-    x = conv1d(x, p["pre"]["w"], p["pre"]["b"])
+    x = conv1d(x, p["pre"]["w"], p["pre"]["b"],
+               padding=(cfg.kernel - 1, 0))
     for i, (st, s) in enumerate(zip(p["stages"], cfg.strides)):
         # causal strided downsample: left-pad so frame t sees only the past
-        x = jnp.pad(x, ((0, 0), (2 * s - s, 0), (0, 0)))
-        x = conv1d(x, st["down"]["w"], st["down"]["b"], stride=s)
+        x = conv1d(x, st["down"]["w"], st["down"]["b"], stride=s,
+                   padding=(2 * s - s, 0))
         for b in st["blocks"]:
             x = _block(x, b, cfg)
     return conv1d(x, p["head"]["w"], p["head"]["b"])
@@ -203,13 +202,13 @@ def _decode_nwc(params, cfg, z):
     for st, s in zip(p["stages"], rev_strides):
         for b in st["blocks"]:
             x = _block(x, b, cfg)
-        # causal transposed conv: trim the trailing lookahead
-        y = conv_transpose1d(x, st["up"]["w"], st["up"]["b"], stride=s,
-                             padding=0)
-        x = y[:, : x.shape[1] * s, :]
+        # causal transposed conv, tail trimmed inside the conv's padding
+        # (a slice would copy the full upsampled tensor)
+        x = conv_transpose1d_causal(x, st["up"]["w"], st["up"]["b"],
+                                    stride=s)
     x = _rms_norm(x, p["post_norm"])
-    x = jnp.pad(x, ((0, 0), (cfg.kernel - 1, 0), (0, 0)))
-    x = conv1d(x, p["post"]["w"], p["post"]["b"])
+    x = conv1d(x, p["post"]["w"], p["post"]["b"],
+               padding=(cfg.kernel - 1, 0))
     return jnp.tanh(x)
 
 

@@ -26,15 +26,19 @@ def conv1d(
     w: jnp.ndarray,  # (K, C_in, C_out)
     b: Optional[jnp.ndarray] = None,
     stride: int = 1,
-    padding: int = 0,
+    padding=0,  # int (symmetric, torch-style) or (lo, hi) — (k-1, 0) gives
+                # a causal conv without a jnp.pad copy of the input (the
+                # pad copy costs a full tensor round-trip at the codec's
+                # full-rate stages)
     dilation: int = 1,
     groups: int = 1,
 ) -> jnp.ndarray:
     """torch.nn.functional.conv1d equivalent in NWC layout."""
+    pad = (padding, padding) if isinstance(padding, int) else tuple(padding)
     out = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(stride,),
-        padding=[(padding, padding)],
+        padding=[pad],
         rhs_dilation=(dilation,),
         dimension_numbers=DN,
         feature_group_count=groups,
@@ -64,6 +68,33 @@ def conv_transpose1d(
         x, w,
         window_strides=(1,),
         padding=[(pad, pad)],
+        lhs_dilation=(stride,),
+        dimension_numbers=DN,
+        preferred_element_type=x.dtype,
+    )
+    if b is not None:
+        out = out + b
+    return out
+
+
+def conv_transpose1d_causal(
+    x: jnp.ndarray,  # (B, T, C_in)
+    w: jnp.ndarray,  # (K, C_in, C_out)
+    b: Optional[jnp.ndarray] = None,
+    stride: int = 1,
+) -> jnp.ndarray:
+    """conv_transpose1d(padding=0) truncated to exactly T*stride outputs —
+    the causal upsampler the codec decoder uses. The truncation happens in
+    the conv's own output padding (hi edge reduced) instead of a slice,
+    which would copy the full upsampled tensor (≈0.5 GB at the codec's
+    full-rate stage)."""
+    k = w.shape[0]
+    # out_len = (t-1)*stride + 1 + lo + hi - (k-1); lo = k-1 (full), and
+    # hi = stride-1 lands exactly on t*stride (drops the k-stride tail)
+    out = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(1,),
+        padding=[(k - 1, stride - 1)],
         lhs_dilation=(stride,),
         dimension_numbers=DN,
         preferred_element_type=x.dtype,
