@@ -39,6 +39,10 @@ from .generate import _head_step
 class ServeState(NamedTuple):
     k: jnp.ndarray            # (L, B, n_kv, hd, C) — transposed keys
     v: jnp.ndarray            # (L, B, n_kv, C, hd)   (llama.KVCache layout)
+    # int8-KV mode (cfg.llama.kv_cache_dtype == "int8"): k/v int8 plus
+    # per-(token, head) scales, same semantics as llama.KVCache
+    k_scale: Optional[jnp.ndarray]  # (L, B, n_kv, 1, C) f32 or None
+    v_scale: Optional[jnp.ndarray]  # (L, B, n_kv, 1, C) f32 or None
     valid: jnp.ndarray        # (B, C) bool — attendable cache slots
     length: jnp.ndarray       # (B,) int32 — next write slot per row
     pos: jnp.ndarray          # (B,) int32 — next local RoPE position
@@ -54,12 +58,21 @@ class ServeState(NamedTuple):
 def init_state(cfg: LlasaConfig, batch_size: int, cache_len: int,
                max_frames: int) -> ServeState:
     lcfg = cfg.llama
+    int8 = lcfg.kv_cache_dtype == "int8"
     dt = jnp.dtype(lcfg.dtype)
+    kv_dt = jnp.int8 if int8 else dt
     L, nkv, hd = lcfg.num_layers, lcfg.num_kv_heads, lcfg.head_dim
     d = cfg.latent_dim
+    def scales():
+        # distinct buffers: insert/decode_step donate the state, and jax
+        # rejects donating the same buffer twice
+        return (jnp.zeros((L, batch_size, nkv, 1, cache_len), jnp.float32)
+                if int8 else None)
+
     return ServeState(
-        k=jnp.zeros((L, batch_size, nkv, hd, cache_len), dt),
-        v=jnp.zeros((L, batch_size, nkv, cache_len, hd), dt),
+        k=jnp.zeros((L, batch_size, nkv, hd, cache_len), kv_dt),
+        v=jnp.zeros((L, batch_size, nkv, cache_len, hd), kv_dt),
+        k_scale=scales(), v_scale=scales(),
         valid=jnp.zeros((batch_size, cache_len), bool),
         length=jnp.zeros((batch_size,), jnp.int32),
         pos=jnp.zeros((batch_size,), jnp.int32),
@@ -88,18 +101,20 @@ def prefill(params: dict, cfg: LlasaConfig, ids: jnp.ndarray,
     embeds = embeds * mask[..., None].astype(embeds.dtype)
     n_pads = (tp - mask.sum(axis=1)).astype(jnp.int32)
     positions = jnp.maximum(jnp.arange(tp)[None, :] - n_pads[:, None], 0)
-    cache = llama.KVCache.zeros(lcfg, b, tp, dtype=jnp.dtype(lcfg.dtype))
+    cache = llama.KVCache.zeros(lcfg, b, tp)  # dtype from cfg (int8 opt)
     valid = mask.astype(bool)
     hidden, cache = llama.forward_with_cache(
         params["llama"], lcfg, embeds, cache, attention_mask=valid,
         positions=positions)
-    return cache.k, cache.v, hidden[:, -1:, :], mask.sum(axis=1).astype(jnp.int32)
+    return (cache.k, cache.v, cache.k_scale, cache.v_scale,
+            hidden[:, -1:, :], mask.sum(axis=1).astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("max_frames",), donate_argnums=(0,))
 def insert(state: ServeState, row: jnp.ndarray, row_k: jnp.ndarray,
-           row_v: jnp.ndarray, hidden: jnp.ndarray, mask: jnp.ndarray,
-           n_tokens: jnp.ndarray, max_frames: int) -> ServeState:
+           row_v: jnp.ndarray, row_ks, row_vs, hidden: jnp.ndarray,
+           mask: jnp.ndarray, n_tokens: jnp.ndarray,
+           max_frames: int) -> ServeState:
     """Splice a prefilled request into batch row `row`. The prompt occupies
     slots [0, bucket); generation continues at slot `bucket`."""
     bucket = row_k.shape[-1]
@@ -108,12 +123,16 @@ def insert(state: ServeState, row: jnp.ndarray, row_k: jnp.ndarray,
                                      (0, row, 0, 0, 0))
     v = jax.lax.dynamic_update_slice(state.v, row_v.astype(state.v.dtype),
                                      (0, row, 0, 0, 0))
+    ks, vs = state.k_scale, state.v_scale
+    if ks is not None:
+        ks = jax.lax.dynamic_update_slice(ks, row_ks, (0, row, 0, 0, 0))
+        vs = jax.lax.dynamic_update_slice(vs, row_vs, (0, row, 0, 0, 0))
     row_valid = jnp.zeros((1, C), bool).at[:, :bucket].set(mask.astype(bool))
     valid = jax.lax.dynamic_update_slice(state.valid, row_valid, (row, 0))
     d = state.means.shape[-1]
     zeros_f = jnp.zeros((1, max_frames, d), state.means.dtype)
     return state._replace(
-        k=k, v=v, valid=valid,
+        k=k, v=v, k_scale=ks, v_scale=vs, valid=valid,
         length=state.length.at[row].set(bucket),
         pos=state.pos.at[row].set(n_tokens[0]),
         last_hidden=jax.lax.dynamic_update_slice(
@@ -133,7 +152,8 @@ def insert(state: ServeState, row: jnp.ndarray, row_k: jnp.ndarray,
 # decode step (per-row slots)
 # ---------------------------------------------------------------------------
 
-def _decode_layer(cfg, x, lp, cos, sin, k_full, v_full, li, lengths, mask):
+def _decode_layer(cfg, x, lp, cos, sin, k_full, v_full, ks_full, vs_full,
+                  li, lengths, mask):
     """x (B,1,h); k_full (L,B,nkv,hd,C) / v_full (L,B,nkv,C,hd) (the
     llama.KVCache decode layouts); writes each row's new KV at its own slot
     IN PLACE on the full layer-stacked cache (scatter over rows at layer
@@ -160,21 +180,35 @@ def _decode_layer(cfg, x, lp, cos, sin, k_full, v_full, li, lengths, mask):
     k = llama.apply_rope(k, cos, sin)
 
     rows = jnp.arange(B)
+    if ks_full is not None:  # int8-KV: quantize the new frame per head
+        k_st, ks = llama._quantize_kv(k)
+        v_st, vs = llama._quantize_kv(v)
+        ks_full = ks_full.at[li, rows, :, 0, lengths].set(ks[:, 0, :, 0])
+        vs_full = vs_full.at[li, rows, :, 0, lengths].set(vs[:, 0, :, 0])
+    else:
+        k_st, v_st = k, v
     # frozen rows overwrite their own slot harmlessly (masked out of valid)
     k_full = k_full.at[li, rows, :, :, lengths].set(
-        k[:, 0].astype(k_full.dtype))
+        k_st[:, 0].astype(k_full.dtype))
     v_full = v_full.at[li, rows, :, lengths, :].set(
-        v[:, 0].astype(v_full.dtype))
+        v_st[:, 0].astype(v_full.dtype))
     C = k_full.shape[-1]
     if (B >= 16 and cfg.use_decode_attention and C % 128 == 0
             and jax.default_backend() == "tpu"):
         from ..ops.pallas.decode_attention import decode_attention_cached
 
         attn = decode_attention_cached(q[:, 0], k_full, v_full, li,
-                                       mask[:, 0, 0, :])[:, None]
+                                       mask[:, 0, 0, :], k_scale=ks_full,
+                                       v_scale=vs_full)[:, None]
     else:
         kt_l = jax.lax.dynamic_index_in_dim(k_full, li, 0, False)
         vt_l = jax.lax.dynamic_index_in_dim(v_full, li, 0, False)
+        if ks_full is not None:
+            ks_l = jax.lax.dynamic_index_in_dim(ks_full, li, 0, False)
+            vs_l = jax.lax.dynamic_index_in_dim(vs_full, li, 0, False)
+            kt_l = (kt_l.astype(jnp.float32) * ks_l).astype(dt)
+            vt_l = (vt_l.astype(jnp.float32)
+                    * jnp.swapaxes(vs_l, -1, -2)).astype(dt)
         attn = mha_t(q, kt_l, vt_l, mask)
 
     x = x + maybe_matmul(attn.reshape(B, 1, nq * hd), lp["wo"])
@@ -186,7 +220,7 @@ def _decode_layer(cfg, x, lp, cos, sin, k_full, v_full, li, lengths, mask):
         gate = jax.nn.silu(maybe_matmul(mlp_in, lp["wg"]))
         up = maybe_matmul(mlp_in, lp["wu"])
     x = x + maybe_matmul(gate * up, lp["wd"])
-    return x, (k_full, v_full)
+    return x, (k_full, v_full, ks_full, vs_full)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "greedy"),
@@ -228,21 +262,23 @@ def decode_step(params: dict, state: ServeState, cfg: LlasaConfig,
     cos, sin = llama.rope_cos_sin(lcfg, state.pos[:, None])
 
     def body(carry, layer_in):
-        x, k_full, v_full = carry
+        x, k_full, v_full, ks, vs = carry
         li, lp = layer_in
-        x, (k_full, v_full) = _decode_layer(lcfg, x, lp, cos, sin, k_full,
-                                            v_full, li, state.length, mask)
-        return (x, k_full, v_full), None
+        x, (k_full, v_full, ks, vs) = _decode_layer(
+            lcfg, x, lp, cos, sin, k_full, v_full, ks, vs, li,
+            state.length, mask)
+        return (x, k_full, v_full, ks, vs), None
 
-    (x, new_k, new_v), _ = jax.lax.scan(
-        body, (a_embed.astype(dt), state.k, state.v),
+    (x, new_k, new_v, new_ks, new_vs), _ = jax.lax.scan(
+        body, (a_embed.astype(dt), state.k, state.v, state.k_scale,
+               state.v_scale),
         (jnp.arange(lcfg.num_layers), params["llama"]["layers"]))
     x = llama.rms_norm(x, params["llama"]["final_norm"].astype(dt),
                        lcfg.rms_norm_eps)
     last_hidden = jnp.where(live[:, None, None], x, state.last_hidden)
 
     return state._replace(
-        k=new_k, v=new_v, valid=valid,
+        k=new_k, v=new_v, k_scale=new_ks, v_scale=new_vs, valid=valid,
         length=state.length + live.astype(jnp.int32),
         pos=state.pos + live.astype(jnp.int32),
         last_hidden=last_hidden,
@@ -329,10 +365,10 @@ class ContinuousBatcher:
         msk = np.zeros((1, bk), np.int32)
         buf[0, bk - len(ids):] = ids
         msk[0, bk - len(ids):] = 1
-        rk, rv, hid, ntok = prefill(self.params, self.cfg, jnp.asarray(buf),
-                                    jnp.asarray(msk))
-        self.state = insert(self.state, jnp.int32(row), rk, rv, hid,
-                            jnp.asarray(msk), ntok,
+        rk, rv, rks, rvs, hid, ntok = prefill(
+            self.params, self.cfg, jnp.asarray(buf), jnp.asarray(msk))
+        self.state = insert(self.state, jnp.int32(row), rk, rv, rks, rvs,
+                            hid, jnp.asarray(msk), ntok,
                             max_frames=self.max_frames)
         self.row_req[row] = req_idx
         self.row_admit_step[row] = self.step_count

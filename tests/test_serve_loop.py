@@ -85,3 +85,22 @@ def test_fused_params_match_single_request_generate():
         np.testing.assert_allclose(comps[i].means,
                                    np.asarray(res.means[0, :n], np.float32),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_int8_kv_continuous_close_to_bf16():
+    """Continuous batcher with kv_cache_dtype='int8' stays close to the
+    bf16-cache batcher (XLA fallback path on CPU)."""
+    cfg, params, prompts = _setup()
+    cfg8 = dataclasses.replace(
+        cfg, llama=dataclasses.replace(cfg.llama, kv_cache_dtype="int8"))
+
+    ref = {c.index: c for c in ContinuousBatcher(
+        params, cfg, batch_size=2, max_frames=MAXF, prompt_buckets=(8, 16),
+        greedy=True).run(prompts)}
+    got = {c.index: c for c in ContinuousBatcher(
+        params, cfg8, batch_size=2, max_frames=MAXF, prompt_buckets=(8, 16),
+        greedy=True).run(prompts)}
+    for i in ref:
+        a, b = ref[i].means, got[i].means
+        sig = float(np.var(a)) + 1e-9
+        assert float(np.mean((a - b) ** 2)) < 0.02 * sig

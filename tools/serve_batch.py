@@ -38,6 +38,9 @@ def main():
                          "long KV caches (+22%% at 1024 on v5e), loses at "
                          "short ones (-15%% at 160); use for long-context "
                          "serving")
+    ap.add_argument("--int8-kv", action="store_true",
+                    help="int8 KV cache with per-(token, head) scales: "
+                         "half the cache memory (2x batch/context)")
     ap.add_argument("--int8", action="store_true",
                     help="int8 weight-only LM decode (quality-gated by "
                          "tests/test_quant.py on a trained model)")
@@ -61,6 +64,11 @@ def main():
 
     exp = load_experiment_config(args.config)
     cfg = exp.model
+    if args.int8_kv:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, llama=dataclasses.replace(cfg.llama, kv_cache_dtype="int8"))
     tok = build_tokenizer(exp.tokenizer_path or None)
     if args.checkpoint:
         params = load_reference_llasa_checkpoint(args.checkpoint, cfg)
