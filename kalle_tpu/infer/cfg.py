@@ -57,7 +57,8 @@ def cfg_generate(
     thres = cfg.end_kl_threshold if end_kl_threshold is None else end_kl_threshold
 
     embeds = llama.embed_tokens(params["llama"], input_ids, lcfg)
-    cache_len = t_text + max_frames + 1
+    # 128-aligned so the Pallas decode-attention kernel can engage
+    cache_len = -(-(t_text + max_frames + 1) // 128) * 128
 
     rng, kmask = jax.random.split(rng)
     if cfg_variant == "v1":

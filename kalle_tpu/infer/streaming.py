@@ -60,7 +60,8 @@ def stream_generate(
     prefix = text_embed[:, :t_warm] + warm_audio
     prefix = jnp.concatenate([speaker_cond.astype(dt)[:, None, :], prefix], axis=1)
 
-    cache_len = 1 + t_text + max_steps + 1
+    # 128-aligned so the Pallas decode-attention kernel can engage
+    cache_len = -(-(1 + t_text + max_steps + 1) // 128) * 128
     cache = llama.KVCache.zeros(lcfg, b, cache_len, dtype=dt)
     hidden, cache = llama.forward_with_cache(params["llama"], lcfg, prefix, cache)
     last = hidden[:, -1:, :]
