@@ -100,6 +100,46 @@ def _kernel(li_ref, q_ref, kt_ref, v_ref, mask_ref, *rest, hd: int,
             o_ref.dtype)
 
 
+def _kernel_single(li_ref, q_ref, kt_ref, v_ref, mask_ref, *rest, hd: int,
+                   quant: bool):
+    """Single-column-block fast path (c == cb): plain softmax, no online
+    accumulation scratch — saves the m/l/acc zeroing and round-trips."""
+    del li_ref
+    if quant:
+        ks_ref, vs_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+
+    _, b, nkvb, ghd, _ = q_ref.shape
+    cb = v_ref.shape[3]
+    bn = b * nkvb
+    q = q_ref[:].reshape(bn, ghd, hd)
+    kt = kt_ref[:].reshape(bn, hd, cb)
+    v = v_ref[:].reshape(bn, cb, hd)
+    if quant:
+        kt = kt.astype(q.dtype)
+        v = v.astype(q.dtype)
+    msk = mask_ref[:]
+    msk = jnp.broadcast_to(msk[:, None], (b, nkvb, ghd, cb)).reshape(
+        bn, ghd, cb)
+
+    s = jax.lax.dot_general(
+        q, kt, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * (hd ** -0.5)
+    if quant:
+        s = s * ks_ref[:].reshape(bn, 1, cb)
+    s = s + (msk - 1.0) * (-NEG_INF)
+
+    p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+    l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+    if quant:
+        p = p * vs_ref[:].reshape(bn, 1, cb)
+    pv = jax.lax.dot_general(
+        (p / l).astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = pv.reshape(o_ref.shape).astype(o_ref.dtype)
+
+
 def _pick_blocks(b, nkv, ghd, hd, c):
     """(nkvb, cb): kv heads and cache columns per grid step. Fewer grid
     steps amortize the per-step DMA/semaphore overhead — the dominant cost
@@ -171,6 +211,7 @@ def decode_attention_cached(q: jnp.ndarray, k_full: jnp.ndarray,
         in_specs += [scale_spec, scale_spec]
         args += [k_scale, v_scale]
 
+    single = c == cb  # one column block: no online-softmax scratch needed
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nkv // nkvb, c // cb),
@@ -178,14 +219,15 @@ def decode_attention_cached(q: jnp.ndarray, k_full: jnp.ndarray,
         out_specs=pl.BlockSpec((1, b, nkvb, ghd, hd),
                                lambda g, j, li: (0, 0, g, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
+        scratch_shapes=[] if single else [
             pltpu.VMEM((b * nkvb, ghd, cb), jnp.float32),  # running max
             pltpu.VMEM((b * nkvb, ghd, cb), jnp.float32),  # running denom
             pltpu.VMEM((b * nkvb, ghd, hd), jnp.float32),  # out accumulator
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, hd=hd, quant=quant),
+        functools.partial(_kernel_single if single else _kernel,
+                          hd=hd, quant=quant),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, b, nkv, ghd, hd), q.dtype),
         interpret=interpret,
