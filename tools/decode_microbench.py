@@ -151,79 +151,6 @@ def main():
         print(f"{label}: {dt/STEPS*1e3:7.3f} ms/step   kv={kv_gb*1e3:.0f} MB "
               f"eff-BW {(stream_gb+kv_gb)/(dt/STEPS):6.0f} GB/s")
 
-    # ---- carry-cache variant: full (L,...) cache in the scan CARRY, ------
-    # updated with an in-place dynamic_update_slice at layer index — no
-    # fresh scan-ys cache buffers per step.
-    from kalle_tpu.models.lm.llama import apply_rope, rms_norm, rope_cos_sin
-    from kalle_tpu.ops.attention import mha
-
-    def make_step_carry(cache_len):
-        @jax.jit
-        def run(params, emb0):
-            lay = params["llama"]["layers"]
-            shape = (lcfg.num_layers, B, cache_len, lcfg.num_kv_heads,
-                     lcfg.head_dim)
-            k_full = jnp.zeros(shape, jnp.bfloat16)
-            v_full = jnp.zeros(shape, jnp.bfloat16)
-            pos = jnp.full((B, 1), 64, jnp.int32)
-            cos, sin = rope_cos_sin(lcfg, pos)
-            slot = 33
-            k_pos = jnp.arange(cache_len)[None, None, None, :]
-            mask = (k_pos <= slot)  # (1,1,1,cache_len)
-
-            def layer(carry, inp):
-                x, k_full, v_full = carry
-                li, lp = inp
-                nq, nkv, hd = (lcfg.num_heads, lcfg.num_kv_heads,
-                               lcfg.head_dim)
-                attn_in = rms_norm(x, lp["attn_norm"].astype(x.dtype),
-                                   lcfg.rms_norm_eps)
-                q = maybe_matmul(attn_in, lp["wq"]).reshape(B, 1, nq, hd)
-                k = maybe_matmul(attn_in, lp["wk"]).reshape(B, 1, nkv, hd)
-                v = maybe_matmul(attn_in, lp["wv"]).reshape(B, 1, nkv, hd)
-                q = apply_rope(q, cos, sin)
-                k = apply_rope(k, cos, sin)
-                k_full = jax.lax.dynamic_update_slice(
-                    k_full, k[None], (li, 0, slot, 0, 0))
-                v_full = jax.lax.dynamic_update_slice(
-                    v_full, v[None], (li, 0, slot, 0, 0))
-                attn = mha(q, k_full[li], v_full[li],
-                           jnp.broadcast_to(mask, (B, 1, 1, cache_len)))
-                x = x + maybe_matmul(attn.reshape(B, 1, nq * hd), lp["wo"])
-                mlp_in = rms_norm(x, lp["mlp_norm"].astype(x.dtype),
-                                  lcfg.rms_norm_eps)
-                g = jax.nn.silu(maybe_matmul(mlp_in, lp["wg"]))
-                u = maybe_matmul(mlp_in, lp["wu"])
-                x = x + maybe_matmul(g * u, lp["wd"])
-                return (x, k_full, v_full), None
-
-            def step(i, carry):
-                emb, k_full, v_full = carry
-                (x, k_full, v_full), _ = jax.lax.scan(
-                    layer, (emb, k_full, v_full),
-                    (jnp.arange(lcfg.num_layers), lay))
-                x = rms_norm(x, params["llama"]["final_norm"].astype(x.dtype),
-                             lcfg.rms_norm_eps)
-                mean = llasa.distribution_head(params, x, jnp.bfloat16)
-                emb = llasa.audio_proj(params, mean, jnp.bfloat16)
-                return emb, k_full, v_full
-
-            out = jax.lax.fori_loop(0, STEPS, step, (emb0, k_full, v_full))
-            return out[0].sum()
-
-        return run
-
-    if args.fused:
-        return  # the standalone carry-cache replica below is unfused-only
-    for cache_len, label in ((32 + 128, "carry-cache step (cache 160)"),
-                             (1024, "carry-cache step (cache 1024)")):
-        run = make_step_carry(cache_len)
-        dt = bench(lambda r=run: np.asarray(r(params, emb0)))
-        kv_gb = (2 * lcfg.num_layers * B * cache_len * lcfg.num_kv_heads
-                 * lcfg.head_dim * 2) / 1e9
-        print(f"{label}: {dt/STEPS*1e3:7.3f} ms/step   kv={kv_gb*1e3:.0f} MB "
-              f"eff-BW {(stream_gb+kv_gb)/(dt/STEPS):6.0f} GB/s")
-
 
 if __name__ == "__main__":
     main()
