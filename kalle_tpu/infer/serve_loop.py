@@ -193,7 +193,8 @@ def _decode_layer(cfg, x, lp, cos, sin, k_full, v_full, ks_full, vs_full,
     v_full = v_full.at[li, rows, :, lengths, :].set(
         v_st[:, 0].astype(v_full.dtype))
     C = k_full.shape[-1]
-    if (B >= 16 and cfg.use_decode_attention and C % 128 == 0
+    # B >= 32: kernel loses below (b=8: 4.6->2.8, b=16: 5.5->4.0 req/s)
+    if (B >= 32 and cfg.use_decode_attention and C % 128 == 0
             and jax.default_backend() == "tpu"):
         from ..ops.pallas.decode_attention import decode_attention_cached
 

@@ -28,7 +28,8 @@ def main():
     ap.add_argument("--platform", default="")
     ap.add_argument("--continuous", type=int, default=0, metavar="N",
                     help="continuous-batching curve: N requests through "
-                         "infer.serve_loop at batch sizes 1/2/4/8")
+                         "infer.serve_loop at batch sizes 1/2/4/8/16 "
+                         "(16+ engages the fused decode-attention kernel)")
     args = ap.parse_args()
 
     if args.platform:
@@ -72,7 +73,7 @@ def main():
         lens = rng.integers(8, 60, (n_req,))
         prompts = [rng.integers(0, cfg.llama.vocab_size - 9, (l,))
                    .astype(np.int32) for l in lens]
-        for bsz in (1, 2, 4, 8):
+        for bsz in (1, 2, 4, 8, 16):
             # warmup/compile on a fresh batcher (jit caches are module-level)
             ContinuousBatcher(params, cfg, batch_size=bsz,
                               max_frames=args.max_frames,
