@@ -152,3 +152,32 @@ def test_int8_kv_cache_decode_close():
     sig = float(np.var(dense)) + 1e-9
     dev = float(np.mean((dense - int8kv) ** 2))
     assert dev < 0.02 * sig, (dev, sig)
+
+
+def test_fused_weights_with_int8_kv_compose():
+    """fuse_decode_params + kv_cache_dtype='int8' together (the long-context
+    serving configuration) stay close to the plain decode."""
+    import dataclasses
+
+    from kalle_tpu.core.config import LlasaConfig
+    from kalle_tpu.infer.generate import generate
+    from kalle_tpu.models.lm import llasa
+    from kalle_tpu.ops.quant import fuse_decode_params
+
+    base = LlasaConfig(llama=LlamaConfig.tiny(vocab_size=64), latent_dim=8,
+                       audio_proj_dim=64, head_variant="sigma")
+    params = llasa.init_params(base, jax.random.key(0))
+    ids = jnp.asarray(np.random.default_rng(4).integers(1, 64, (2, 6)))
+    mask = jnp.ones((2, 6), jnp.int32)
+
+    def decode(p, cfg):
+        res = generate(p, cfg, ids, mask, jax.random.key(2), max_frames=10,
+                       end_kl_threshold=-1.0, greedy=True)
+        return np.asarray(res.means, np.float32)
+
+    plain = decode(params, base)
+    cfg8 = dataclasses.replace(
+        base, llama=dataclasses.replace(base.llama, kv_cache_dtype="int8"))
+    combo = decode(fuse_decode_params(params), cfg8)
+    sig = float(np.var(plain)) + 1e-9
+    assert float(np.mean((plain - combo) ** 2)) < 0.02 * sig
