@@ -140,6 +140,11 @@ class TrainConfig:
     end_loss_weight: float = 0.002
     save_interval: int = 5000
     log_interval: int = 100
+    # speaker-VAE KL regularizer weight for the _spkvae variants
+    # (ref configs/vae_12_5hz_dim2048_tts-sft.yaml:20, variants.py losses)
+    speaker_cond_kl_weight: float = 0.0
+    # flow-space KL weight (train/flow_kl.py; ref infer_backup/train copy.py:175-183)
+    kl_loss_weight: float = 0.0
     seed: int = 42
     max_grad_norm: Optional[float] = None
     # parallelism: mesh axis sizes; -1 means "all remaining devices"
@@ -161,6 +166,9 @@ class DataConfig:
     meta_path: str = ""
     latent_kind: str = "sigma"  # "sigma" (.npy (1,T,64)) | "stableaudio" (.npy (1,128,T))
     spk_drop_prob: float = 0.0
+    # streaming interleave: audio stream lags text by this many frames
+    # (ref configs/vae_12_5hz_dim2048_tts-sft.yaml:43, dy_dataset.py:795-807)
+    delay_frames: int = 0
     max_token_length: int = 11000  # dynamic batch token budget
     batch_size: int = 16
     use_dynamic: bool = True
@@ -246,7 +254,9 @@ def load_experiment_config(path_or_dict: Any) -> ExperimentConfig:
     dp = _get(raw, "datapool", {})
     data = DataConfig(
         meta_path=str(_get(ds, "meta_path", "")),
+        latent_kind=str(_get(ds, "latent_kind", "sigma")),
         spk_drop_prob=float(_get(ds, "spk_drop_prob", 0.0)),
+        delay_frames=int(_get(ds, "delay_frames", 0)),
         max_token_length=int(_get(bg, "max_token_length", 11000)),
         batch_size=int(_get(bg, "batch_size", 16)),
         use_dynamic=bool(_get(bg, "use_dynamic", True)),
@@ -263,6 +273,8 @@ def load_experiment_config(path_or_dict: Any) -> ExperimentConfig:
         gradient_accumulation_steps=int(_get(raw, "gradient_accumulation_steps", 1)),
         audio_loss_weight=float(_get(raw, "audio_loss_weight", 1.0)),
         end_loss_weight=float(_get(raw, "end_loss_weight", 0.002)),
+        speaker_cond_kl_weight=float(_get(raw, "speaker_cond_kl_weight", 0.0)),
+        kl_loss_weight=float(_get(raw, "kl_loss_weight", 0.0)),
         save_interval=int(_get(raw, "save_interval", 5000)),
         log_interval=int(_get(raw, "log_interval", 100)),
         dp=int(_get(raw, "dp", -1)),

@@ -64,6 +64,25 @@ class ByteTokenizer:
         idx = SPECIAL_TOKENS.index(token)
         return self.base_vocab + idx
 
+    def encode_with_specials(self, text: str) -> List[int]:
+        """Encode with the 8 audio special tokens mapped to their ids;
+        everything else (incl. chat-layout markers) as raw bytes."""
+        ids: List[int] = []
+        i, n = 0, len(text)
+        while i < n:
+            for tok in SPECIAL_TOKENS:
+                if text.startswith(tok, i):
+                    ids.append(self.convert_tokens_to_ids(tok))
+                    i += len(tok)
+                    break
+            else:
+                ids.extend(text[i].encode("utf-8"))
+                i += 1
+        return ids
+
+    def apply_chat_template(self, messages: Sequence[dict]) -> List[int]:
+        return self.encode_with_specials(_llama3_chat_render(messages))
+
 
 class HFTokenizer:
     """Wraps a local HuggingFace tokenizer dir (the reference's
@@ -99,6 +118,13 @@ class HFTokenizer:
     def convert_tokens_to_ids(self, token: str) -> int:
         return self.tok.convert_tokens_to_ids(token)
 
+    def apply_chat_template(self, messages: Sequence[dict]) -> List[int]:
+        if getattr(self.tok, "chat_template", None):
+            return list(self.tok.apply_chat_template(messages, tokenize=True))
+        # template-less tokenizer dir: render the Llama-3 layout ourselves
+        return self.tok.encode(_llama3_chat_render(messages),
+                               add_special_tokens=False)
+
 
 def build_tokenizer(path: Optional[str] = None):
     if path:
@@ -114,3 +140,39 @@ def build_prompt_ids(tokenizer, text: str) -> List[int]:
         sp.speech_understanding_end,
         sp.speech_generation_start,
     ]
+
+
+# Chat-template prompting (ref tools/batch_infer.py:72-77): the caption is
+# wrapped in a user turn `Convert the text to speech:<|TEXT_UNDERSTANDING_
+# START|>{text}<|SPEECH_UNDERSTANDING_END|>` and the assistant turn opens
+# with <|SPEECH_GENERATION_START|>, run through the tokenizer's chat
+# template.
+CHAT_USER_CONTENT = ("Convert the text to speech:"
+                     "<|TEXT_UNDERSTANDING_START|>{text}"
+                     "<|SPEECH_UNDERSTANDING_END|>")
+CHAT_ASSISTANT_CONTENT = "<|SPEECH_GENERATION_START|>"
+
+
+def build_chat_messages(text: str) -> List[dict]:
+    return [
+        {"role": "user", "content": CHAT_USER_CONTENT.format(text=text)},
+        {"role": "assistant", "content": CHAT_ASSISTANT_CONTENT},
+    ]
+
+
+def build_chat_prompt_ids(tokenizer, text: str) -> List[int]:
+    """Chat-template prompt ids, exactly `tokenizer.apply_chat_template(
+    chat, tokenize=True)` from ref tools/batch_infer.py:72-77. Tokenizers
+    without a chat template (ByteTokenizer, template-less HF dirs) get the
+    Llama-3 chat layout rendered manually so the stream structure matches."""
+    return list(tokenizer.apply_chat_template(build_chat_messages(text)))
+
+
+def _llama3_chat_render(messages: Sequence[dict]) -> str:
+    """Llama-3 chat layout (header markers + eot per message), used when the
+    tokenizer ships no template of its own."""
+    parts = ["<|begin_of_text|>"]
+    for m in messages:
+        parts.append(f"<|start_header_id|>{m['role']}<|end_header_id|>\n\n"
+                     f"{m['content']}<|eot_id|>")
+    return "".join(parts)

@@ -69,7 +69,7 @@ def cfg_generate(
         append_live = False
 
     def prefill(mask_bool):
-        cache = llama.KVCache.zeros(lcfg, b, cache_len, dtype=dt)
+        cache = llama.KVCache.zeros(lcfg, b, cache_len)  # dtype from cfg (int8 opt)
         valid = jnp.zeros((b, cache_len), bool).at[:, :t_text].set(mask_bool)
         # attention over the prompt uses the branch mask; ROWS all valid
         h, cache = llama.forward_with_cache(

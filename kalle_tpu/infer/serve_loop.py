@@ -161,7 +161,9 @@ def _decode_layer(cfg, x, lp, cos, sin, k_full, v_full, ks_full, vs_full,
     cache rides the scan carry so XLA aliases the buffer instead of
     materializing fresh per-layer cache copies each step (same restructure
     as llama.forward_with_cache). Attention runs through the fused Pallas
-    decode kernel on TPU when the cache length is 128-aligned."""
+    decode kernel on TPU when the cache length is 128-aligned AND the
+    batch is >= 32 (below that the XLA path measures faster; see the gate
+    a few lines down and docs/inference.md)."""
     dt = x.dtype
     B = x.shape[0]
     nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim

@@ -62,7 +62,7 @@ def stream_generate(
 
     # 128-aligned so the Pallas decode-attention kernel can engage
     cache_len = -(-(1 + t_text + max_steps + 1) // 128) * 128
-    cache = llama.KVCache.zeros(lcfg, b, cache_len, dtype=dt)
+    cache = llama.KVCache.zeros(lcfg, b, cache_len)  # dtype from cfg (int8 opt)
     hidden, cache = llama.forward_with_cache(params["llama"], lcfg, prefix, cache)
     last = hidden[:, -1:, :]
 

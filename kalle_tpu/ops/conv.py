@@ -89,6 +89,9 @@ def conv_transpose1d_causal(
     which would copy the full upsampled tensor (≈0.5 GB at the codec's
     full-rate stage)."""
     k = w.shape[0]
+    # precondition: hi pad stride-1 <= k-1, else the tail fills from zero
+    # padding instead of matching the slice formulation
+    assert k >= stride, f"conv_transpose1d_causal needs kernel {k} >= stride {stride}"
     # out_len = (t-1)*stride + 1 + lo + hi - (k-1); lo = k-1 (full), and
     # hi = stride-1 lands exactly on t*stride (drops the k-stride tail)
     out = jax.lax.conv_general_dilated(

@@ -19,6 +19,10 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--config", default="")
     ap.add_argument("--checkpoint", default="")
+    ap.add_argument("--chat-template", action="store_true",
+                    help="wrap the caption in the tokenizer chat template "
+                         "(ref tools/batch_infer.py:72-77) instead of the "
+                         "raw text+special-tokens prompt")
     ap.add_argument("--platform", default="",
                     help="force jax platform (e.g. cpu); the environment's "
                          "sitecustomize pins the TPU otherwise")
@@ -34,7 +38,8 @@ def main():
     import numpy as np
 
     from kalle_tpu.core.config import LlasaConfig, load_experiment_config
-    from kalle_tpu.data.tokens import build_prompt_ids, build_tokenizer
+    from kalle_tpu.data.tokens import (build_chat_prompt_ids,
+                                       build_prompt_ids, build_tokenizer)
     from kalle_tpu.infer.generate import generate
     from kalle_tpu.models.lm import llasa
 
@@ -53,7 +58,8 @@ def main():
     else:
         params = llasa.init_params(cfg, jax.random.key(0))
 
-    ids = np.asarray(build_prompt_ids(tokenizer, args.text), np.int32)
+    build = build_chat_prompt_ids if args.chat_template else build_prompt_ids
+    ids = np.asarray(build(tokenizer, args.text), np.int32)
     batch_ids = jnp.asarray(np.tile(ids[None], (args.repeats, 1)))
     mask = jnp.ones_like(batch_ids)
     res = generate(params, cfg, batch_ids, mask, jax.random.key(1),

@@ -29,7 +29,7 @@ def main():
     ap.add_argument("--continuous", type=int, default=0, metavar="N",
                     help="continuous-batching curve: N requests through "
                          "infer.serve_loop at batch sizes 1/2/4/8/16 "
-                         "(16+ engages the fused decode-attention kernel)")
+                         "(32+ engages the fused decode-attention kernel)")
     args = ap.parse_args()
 
     if args.platform:
