@@ -298,7 +298,8 @@ def forward(
     mask = None if flash_pad is not None else make_causal_padding_mask(
         attention_mask, t)
 
-    from ...parallel.mesh import activation_seq_constraint
+    from ...parallel.mesh import (activation_seq_constraint,
+                                  layer_slice_constraint)
     from ...parallel.pipeline import PP_AXIS, pipelined_layer_stack
 
     ambient = jax.sharding.get_abstract_mesh()
@@ -324,6 +325,7 @@ def forward(
 
     def body(x, lp):
         x = activation_seq_constraint(x)  # sequence parallelism (sp axis)
+        lp = layer_slice_constraint(lp)  # clean scan-bwd resharding
         x, _ = _layer(cfg, x, lp, cos, sin, mask, flash_pad_mask=flash_pad,
                       flash_interpret=on_cpu)
         return x, None

@@ -52,6 +52,44 @@ def make_mesh(dp: int = -1, tp: int = 1, sp: int = 1, pp: int = 1,
     return Mesh(arr, (DP_AXIS, TP_AXIS))
 
 
+def layer_slice_constraint(lp: dict) -> dict:
+    """Pin the per-layer weights sliced out of the stacked (L, ...) arrays
+    inside the layer scan to the tp-sharded specs of the stacked tensors
+    (minus the leading L axis).
+
+    Without this, the backward of the scan (transpose(jvp)/while/body)
+    leaves the dynamic-slice/squeeze of each layer's weights unannotated and
+    GSPMD picks a different sharding for the slice than for the stacked
+    buffer it accumulates into — the compiler then falls back to
+    "involuntary full rematerialization" (replicate + repartition) on every
+    loop iteration, wasting ICI bandwidth. Constraining the slices makes
+    forward slice, backward cotangent, and the gradient accumulator agree.
+
+    Deliberately tp-only even when the params at rest are FSDP-sharded
+    (('tp','dp') column layout, param_pspecs(fsdp=True)): constraining the
+    in-scan slice to P(None, tp) makes XLA all-gather each layer's weights
+    over dp right at the slice — exactly the ZeRO-3 contract (gather at
+    use, shard at rest) — and keeps the backward layouts identical to the
+    plain-tp case, which reshards cleanly. Pinning ('tp','dp') instead
+    reintroduces involuntary-remat warnings in the scan backward.
+    No-op when the ambient mesh has no tp axis."""
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or TP_AXIS not in getattr(mesh, "axis_names", ()):
+        return lp
+    tp = TP_AXIS
+    specs = {
+        "attn_norm": P(None),
+        "wq": P(None, tp), "wk": P(None, tp), "wv": P(None, tp),
+        "wo": P(tp, None),
+        "mlp_norm": P(None),
+        "wg": P(None, tp), "wu": P(None, tp),
+        "wd": P(tp, None),
+    }
+    return {k: (jax.lax.with_sharding_constraint(v, specs[k])
+                if k in specs else v)
+            for k, v in lp.items()}
+
+
 def activation_seq_constraint(x):
     """Constrain (b, t, h) activations to P(dp, sp, None) when an sp axis is
     present in the ambient mesh; no-op otherwise."""

@@ -1,0 +1,37 @@
+"""The one-command experiment chain (tools/run_experiment.py) composes
+train -> orbax checkpoint -> reload -> synthesize -> score in one process
+(the reference's acceptance loop, ref train_offline.py:45-336 +
+tools/compute-wer.sh:24-27). CPU-tiny: small model, short schedule."""
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+
+def test_full_experiment_chain(tmp_path):
+    import run_experiment
+
+    rc = run_experiment.main([
+        "configs/sigma_overfit.yaml", "--tiny", "--steps", "25",
+        "--rows", "2", "--seconds", "1.0",
+        "--exp-dir", str(tmp_path),
+    ])
+    assert rc == 0
+    run_dir = tmp_path / "sigma-overfit-tiny"
+    result = json.loads((run_dir / "experiment.json").read_text())
+    assert result["ok"]
+    assert result["gates"]["loss_drop"]
+    assert result["gates"]["latent_gate"]
+    assert result["quality"]["latent_rel_mse"] < 1.0
+    # output-dir conventions: {utt}.txt + copysyn + gen per row
+    out_dir = result["synthesis"]["output_dir"]
+    names = sorted(os.listdir(out_dir))
+    for utt in ("utt000", "utt001"):
+        assert f"{utt}.txt" in names
+        assert f"{utt}---copysyn.wav" in names
+        assert f"{utt}---gen.wav" in names
+    # speaker-sim artifacts (ref tools/sim_test.py:83-99 naming)
+    assert "0000000_sim.txt" in names and "0000000_sim,json" in names

@@ -1,0 +1,340 @@
+#!/usr/bin/env python
+"""One-command full-experiment reproduction.
+
+The reference's de-facto acceptance loop is train -> checkpoint ->
+synthesize the test set (copysyn + gen wavs) -> score
+(ref train_offline.py:45-336 training + mid-train listening eval;
+infer_vibevoice.py:313-369 copysyn/gen output conventions;
+tools/compute-wer.sh:24-27 + tools/sim_test.py scoring). This tool runs
+that entire chain as ONE process and emits `experiment.json` with the
+quality + perf numbers and pass/fail gates:
+
+  1. fabricate a self-contained dataset: synthetic utterances encoded
+     through a frozen sigma-VAE codec -> latent .npy + jsonl (the frozen
+     external codec role, ref train_offline.py:184-190)
+  2. train the LM through the full Trainer (jit step, orbax checkpoints)
+  3. RELOAD the orbax checkpoint into a fresh state (round-trip proof)
+  4. InferTools.infer_jsonl over the test rows: {utt}.txt,
+     {utt}---copysyn.wav, {utt}---gen.wav in inference_results/...
+  5. score: latent-gate (greedy decode vs ground-truth latents — the
+     WER proxy available without external ASR weights), speaker-sim
+     over copysyn/gen pairs with the self-contained ECAPA embedder,
+     and optional real-ASR WER when backends are installed (--asr-lang)
+
+CPU-tiny smoke:  python tools/run_experiment.py --tiny --platform cpu
+Real-chip gate:  python tools/run_experiment.py  (flagship 1B, v5e)
+"""
+import argparse
+import dataclasses
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def make_utterance_bank(sr: int, seconds: float, n: int, seed: int = 0):
+    """Synthetic 'speech-like' clips: per-utterance chirp + harmonic tone +
+    AM noise (same family as tools/train_codec_demo.py's bank)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(sr * seconds)) / sr
+    clips = []
+    for i in range(n):
+        f0 = 120 + 40 * rng.random()
+        chirp = np.sin(2 * np.pi * (f0 + 0.5 * 600 * rng.random() * t) * t)
+        tone = 0.3 * np.sin(2 * np.pi * (f0 * (2 + i % 3)) * t)
+        am = 0.5 * (1 + np.sin(2 * np.pi * (2 + i % 5) * t))
+        noise = 0.1 * am * rng.standard_normal(t.shape)
+        clip = 0.6 * chirp + tone + noise
+        clips.append((0.8 * clip / np.max(np.abs(clip))).astype(np.float32))
+    return clips
+
+
+CAPTIONS = [
+    "a rising chirp with a steady harmonic tone",
+    "low hum with amplitude modulated noise",
+    "bright sweep over a droning bass note",
+    "pulsing static under a slow glissando",
+    "metallic tone with a breathy texture",
+    "warbling note over soft wind noise",
+    "sustained chord with crackling overlay",
+    "sirenlike sweep above rumbling noise",
+]
+
+
+def fabricate_dataset(codec, data_dir: str, n_rows: int, seconds: float,
+                      seed: int = 0):
+    """clips -> frozen-codec latents (.npy) + wavs + train/test jsonl rows."""
+    import jax.numpy as jnp
+
+    from kalle_tpu.utils.audio import write_wav
+
+    os.makedirs(data_dir, exist_ok=True)
+    sr = codec.sample_rate
+    clips = make_utterance_bank(sr, seconds, n_rows, seed)
+    rows = []
+    for i, clip in enumerate(clips):
+        mean = np.asarray(codec.encode_audio(jnp.asarray(clip[None])))[0]
+        utt = f"utt{i:03d}"
+        vae = os.path.join(data_dir, f"{utt}.npy")
+        wav = os.path.join(data_dir, f"{utt}.wav")
+        np.save(vae, mean.astype(np.float32))  # (T, d) sigma layout
+        write_wav(wav, clip[None], sr)
+        rows.append({"id": utt, "caption": CAPTIONS[i % len(CAPTIONS)] +
+                     f" variant {i}", "vae": vae, "speech": wav})
+    meta = os.path.join(data_dir, "meta.jsonl")
+    with open(meta, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return meta, rows
+
+
+def latent_gate(params, cfg, tokenizer, rows, max_frames: int):
+    """Greedy decode per row; relative MSE of generated vs ground-truth
+    latent means over the overlapping frames. The WER proxy: an overfit
+    model must reproduce its training latents (no ASR weights needed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from kalle_tpu.data.tokens import build_prompt_ids
+    from kalle_tpu.infer.generate import generate
+
+    errs = []
+    for row in rows:
+        gt = np.load(row["vae"])
+        if gt.ndim == 3:
+            gt = gt[0]
+        ids = np.asarray(build_prompt_ids(tokenizer, row["caption"]), np.int32)
+        res = generate(params, cfg, jnp.asarray(ids[None]),
+                       jnp.ones((1, len(ids)), jnp.int32), jax.random.key(7),
+                       max_frames=max_frames, end_kl_threshold=-1.0,
+                       greedy=True)
+        pred = np.asarray(res.means[0], np.float32)
+        n = min(len(gt), pred.shape[0])
+        err = float(np.mean((pred[:n] - gt[:n]) ** 2))
+        var = float(np.var(gt[:n])) + 1e-9
+        errs.append(err / var)
+    return float(np.mean(errs))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config", nargs="?", default="configs/sigma_overfit.yaml")
+    ap.add_argument("--platform", default="",
+                    help="force jax platform (e.g. cpu)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model + tiny codec (CPU smoke / pytest)")
+    ap.add_argument("--steps", type=int, default=None,
+                    help="train steps (default: 200 flagship, 40 tiny)")
+    ap.add_argument("--rows", type=int, default=4)
+    ap.add_argument("--seconds", type=float, default=2.0)
+    ap.add_argument("--exp-dir", default="")
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--latent-gate", type=float, default=1.0,
+                    help="pass threshold on relative latent MSE (an overfit "
+                         "run should land well below 1.0 = GT variance)")
+    ap.add_argument("--loss-drop", type=float, default=0.5,
+                    help="required final/first audio-loss ratio")
+    ap.add_argument("--asr-lang", default="",
+                    help="run the real ASR WER pipeline (en|zh) if backends "
+                         "+ weights are installed; skipped otherwise")
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax
+    import jax.numpy as jnp
+
+    from kalle_tpu.core.checkpoint import CheckpointManager
+    from kalle_tpu.core.config import (LlamaConfig, LlasaConfig,
+                                       load_experiment_config)
+    from kalle_tpu.data.tokens import build_tokenizer
+    from kalle_tpu.eval import harness
+    from kalle_tpu.infer.pipeline import Codec, InferTools
+    from kalle_tpu.models.codecs import sigmavae
+    from kalle_tpu.models.lm import llasa
+    from kalle_tpu.train.optim import make_optimizer
+    from kalle_tpu.train.step import make_train_state
+    from kalle_tpu.train.trainer import Trainer
+
+    t0 = time.time()
+    exp = load_experiment_config(args.config)
+    steps = args.steps or (40 if args.tiny else 200)
+    if args.tiny:
+        model = LlasaConfig(llama=LlamaConfig.tiny(vocab_size=300),
+                            latent_dim=8, audio_proj_dim=64,
+                            head_variant="sigma")
+        codec_cfg = sigmavae.SigmaVAEConfig(
+            latent_dim=8, sample_rate=2000, strides=(2, 5),
+            channels=(8, 16), blocks_per_stage=1, fused_blocks=False)
+        train = dataclasses.replace(exp.train, lr=3e-3, warmup_steps=5,
+                                    save_interval=steps, log_interval=10)
+        exp = dataclasses.replace(exp, model=model, train=train,
+                                  project_name=exp.project_name + "-tiny")
+    else:
+        codec_cfg = sigmavae.SigmaVAEConfig(
+            latent_dim=exp.model.latent_dim)
+        exp = dataclasses.replace(
+            exp, train=dataclasses.replace(exp.train, save_interval=steps))
+    if args.exp_dir:
+        exp = dataclasses.replace(exp, exp_dir=args.exp_dir)
+
+    run_dir = os.path.join(exp.exp_dir, exp.project_name)
+    if os.path.exists(run_dir):
+        shutil.rmtree(run_dir)  # fresh run: no stale orbax resume
+    os.makedirs(run_dir, exist_ok=True)
+
+    # ---- stage 1: frozen codec + fabricated dataset ----
+    codec = Codec("sigma", codec_cfg,
+                  sigmavae.init_params(codec_cfg, jax.random.key(123)))
+    data_dir = os.path.join(run_dir, "data")
+    meta, rows = fabricate_dataset(codec, data_dir, args.rows, args.seconds)
+    exp = dataclasses.replace(
+        exp, data=dataclasses.replace(exp.data, meta_path=meta))
+    frames_per_row = int(args.seconds * codec_cfg.sample_rate) // codec_cfg.hop
+    max_frames = args.max_frames or frames_per_row + 8
+    print(f"[1/5] dataset: {len(rows)} rows, {frames_per_row} frames/row, "
+          f"codec hop {codec_cfg.hop} @ {codec_cfg.sample_rate} Hz")
+
+    # ---- stage 2: train ----
+    tokenizer = build_tokenizer(exp.tokenizer_path or None)
+    trainer = Trainer(exp, tokenizer)
+    t_train = time.time()
+    metrics = trainer.fit(max_steps=steps)
+    train_s = time.time() - t_train
+    last_loss = metrics.get("audio_loss", float("nan"))
+    total_loss = metrics.get("total_loss", float("nan"))
+    steps_per_s = steps / max(train_s, 1e-9)
+    print(f"[2/5] trained {steps} steps in {train_s:.1f}s "
+          f"({steps_per_s:.2f} steps/s), audio_loss {last_loss:.4f}")
+
+    # first-loss reference: one fresh-init loss evaluation for the drop gate
+    from kalle_tpu.train.step import loss_fn
+
+    ds_rows = rows[: min(2, len(rows))]
+    from kalle_tpu.data.collate import Item, collate
+
+    items = []
+    for r in ds_rows:
+        from kalle_tpu.data.tokens import build_prompt_ids
+
+        lat = np.load(r["vae"]).astype(np.float32)
+        ids = np.asarray(build_prompt_ids(tokenizer, r["caption"]), np.int32)
+        items.append(Item(input_ids=ids, audio_latents=lat,
+                          audio_distribution=lat.copy()))
+    probe = collate(items, pad_token_id=tokenizer.pad_token_id)
+    probe = {k: jnp.asarray(v) for k, v in probe.items()
+             if isinstance(v, np.ndarray)}
+    init_params = llasa.init_params(exp.model, jax.random.key(exp.train.seed))
+    first = float(loss_fn(init_params, exp.model, exp.train, probe,
+                          jax.random.key(0))[1]["audio_loss"])
+
+    # ---- stage 3: checkpoint round-trip ----
+    tx = make_optimizer(exp.train)
+    template = make_train_state(
+        jax.tree.map(lambda x: x, init_params), tx)
+    ckpt = CheckpointManager(os.path.join(exp.output_dir, "orbax"))
+    restored, ck_step = ckpt.restore(jax.device_get(template))
+    assert ck_step == steps, f"checkpoint step {ck_step} != {steps}"
+    params = jax.device_get(restored.params)
+    # proof the checkpoint is the trained state, not the template
+    diff = float(np.mean(np.abs(
+        np.asarray(params["audio_linear"]["w"], np.float32) -
+        np.asarray(init_params["audio_linear"]["w"], np.float32))))
+    assert diff > 0, "restored params identical to fresh init"
+    print(f"[3/5] orbax checkpoint step {ck_step} restored "
+          f"(mean |delta| vs init {diff:.2e})")
+
+    # ---- stage 4: synthesize the test set ----
+    t_syn = time.time()
+    tools = InferTools(exp.model, params, tokenizer, codec,
+                       output_root=os.path.join(run_dir, "inference_results"),
+                       version=exp.project_name, ckpt_name=f"step{ck_step}",
+                       timestamp=False)
+    written = tools.infer_jsonl(rows, max_frames=max_frames,
+                                batch_size=min(4, len(rows)))
+    syn_s = time.time() - t_syn
+    gen_wavs = [p for p in written if p.endswith("---gen.wav")]
+    copysyn_wavs = [p for p in written if p.endswith("---copysyn.wav")]
+    audio_seconds = args.seconds * len(gen_wavs)
+    rtf = syn_s / max(audio_seconds, 1e-9)
+    print(f"[4/5] synthesized {len(gen_wavs)} gen + {len(copysyn_wavs)} "
+          f"copysyn wavs in {syn_s:.1f}s (incl. compile) -> {tools.output_dir}")
+
+    # ---- stage 5: score ----
+    rel_mse = latent_gate(params, exp.model, tokenizer, rows, max_frames)
+
+    meta_items = [harness.MetaItem(r["id"], r["caption"], r["speech"],
+                                   r["caption"]) for r in rows]
+    from kalle_tpu.models.conditioning import ecapa as ecapa_mod
+
+    # mel frontend emits 80 mels -> in_channels stays 80 even in tiny mode
+    ecfg = ecapa_mod.EcapaConfig(
+        in_channels=80, channels=16, embd_dim=12, scale=4,
+        attn_bottleneck=8, pooled_channels=48) \
+        if args.tiny else ecapa_mod.EcapaConfig()
+    embedder = harness.make_ecapa_embedder(
+        ecapa_mod.init_params(ecfg, jax.random.key(5)), ecfg,
+        sample_rate=min(16000, codec_cfg.sample_rate))
+    spk_sim = harness.speaker_similarity(tools.output_dir, meta_items,
+                                         embedder)
+
+    wer = None
+    if args.asr_lang:
+        meta_lst = os.path.join(run_dir, "meta.lst")
+        with open(meta_lst, "w") as f:
+            for r in rows:
+                f.write(f"{r['id']}|{r['caption']}|{r['speech']}|"
+                        f"{r['caption']}\n")
+        try:
+            wer = harness.wer_pipeline(args.asr_lang, tools.output_dir,
+                                       meta_lst)
+        except Exception as e:  # no ASR weights in this image
+            print(f"      real-ASR WER skipped: {e}")
+
+    loss_ratio = last_loss / max(first, 1e-9)
+    gates = {
+        "loss_drop": bool(loss_ratio < args.loss_drop),
+        "latent_gate": bool(rel_mse < args.latent_gate),
+        "checkpoint_roundtrip": True,
+        "all_wavs_written": bool(len(gen_wavs) == len(rows)
+                                 and len(copysyn_wavs) == len(rows)),
+    }
+    result = {
+        "config": args.config,
+        "tiny": args.tiny,
+        "steps": steps,
+        "rows": len(rows),
+        "train": {"first_audio_loss": first, "final_audio_loss": last_loss,
+                  "final_total_loss": total_loss,
+                  "loss_ratio": loss_ratio, "steps_per_s": steps_per_s},
+        "checkpoint": {"step": ck_step, "delta_vs_init": diff},
+        "synthesis": {"n_gen": len(gen_wavs), "n_copysyn": len(copysyn_wavs),
+                      "wall_s": syn_s, "rtf_incl_compile": rtf,
+                      "output_dir": tools.output_dir},
+        "quality": {"latent_rel_mse": rel_mse, "speaker_sim": spk_sim,
+                    "wer": wer},
+        "gates": gates,
+        "ok": all(gates.values()),
+        "total_wall_s": time.time() - t0,
+    }
+    out_path = os.path.join(run_dir, "experiment.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=2)
+    print(f"[5/5] latent rel-MSE {rel_mse:.4f} (gate < {args.latent_gate}), "
+          f"loss {first:.3f} -> {last_loss:.3f} "
+          f"(ratio {loss_ratio:.3f} gate < {args.loss_drop}), "
+          f"spk-sim {spk_sim:.3f}")
+    print(f"experiment.json -> {out_path}  ok={result['ok']}")
+    return 0 if result["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
