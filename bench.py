@@ -70,6 +70,16 @@ def main():
     # compile + warmup
     run(jax.random.key(1))
 
+    # early-stop sanity arm (VERDICT r2 weak 6): with random weights the
+    # end-KL floor is ~1.21 > the 0.5 threshold, so the headline decode
+    # always runs to MAX_FRAMES; raise the threshold above the floor to
+    # prove the while_loop early-exit path also executes on the real chip.
+    res_es = generate(params, cfg, ids, mask, jax.random.key(99),
+                      max_frames=MAX_FRAMES, end_kl_threshold=2.0)
+    n_es = np.asarray(res_es.n_frames)
+    assert (n_es < MAX_FRAMES).all() and (n_es >= cfg.min_frames).all(), (
+        "early-stop exit path did not fire on chip", n_es[:4].tolist())
+
     n_iters = 5
     t0 = time.perf_counter()
     for i in range(n_iters):

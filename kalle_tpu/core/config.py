@@ -63,9 +63,18 @@ class LlamaConfig:
     pp_microbatches: int = 4
     # fused Pallas decode attention over the KV cache (TPU, t=1, cache_len
     # % 128 == 0 — callers round the cache up; ops/pallas/decode_attention
-    # .py). Measured on v5e b=32: ~+11% per attention call at cache 256,
-    # +34% at 1024 over the XLA lowering.
+    # .py). Engages only for bf16 KV caches: in-step on v5e (int8 weights,
+    # decode_microbench r3) the kernel wins +4%/+13% (b=8, cache 256/1024)
+    # to +14%/+27% (b=32) over the XLA lowering — but with an int8 KV cache
+    # XLA's fused dequant-attention matches or beats it everywhere measured,
+    # so int8-KV decode always takes the XLA path. Rule of thumb: short
+    # caches -> bf16 KV + kernel (fastest); long caches -> int8 KV + XLA
+    # (fastest AND half the memory).
     use_decode_attention: bool = True
+    # batch floor for the fused decode kernel: at b=1 the kernel regresses
+    # TTFA (0.068 -> 0.086 s, round 2); from 8 up it wins for bf16 KV.
+    # Tunable so benches can force the kernel on (1) or off (big).
+    decode_attention_min_batch: int = 8
     # "int8" stores the KV cache quantized with per-(token, kv-head) absmax
     # scales: half the KV HBM traffic / double the servable context. The
     # decode kernel folds the scales into its two matmuls (no dequantized

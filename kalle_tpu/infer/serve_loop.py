@@ -161,9 +161,10 @@ def _decode_layer(cfg, x, lp, cos, sin, k_full, v_full, ks_full, vs_full,
     cache rides the scan carry so XLA aliases the buffer instead of
     materializing fresh per-layer cache copies each step (same restructure
     as llama.forward_with_cache). Attention runs through the fused Pallas
-    decode kernel on TPU when the cache length is 128-aligned AND the
-    batch is >= 32 (below that the XLA path measures faster; see the gate
-    a few lines down and docs/inference.md)."""
+    decode kernel on TPU when the cache length is 128-aligned AND the KV
+    cache is bf16 AND the batch is >= cfg.decode_attention_min_batch
+    (default 8); int8 caches always take the XLA fused-dequant path, which
+    measures faster (see the gate below and docs/inference.md)."""
     dt = x.dtype
     B = x.shape[0]
     nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -195,8 +196,11 @@ def _decode_layer(cfg, x, lp, cos, sin, k_full, v_full, ks_full, vs_full,
     v_full = v_full.at[li, rows, :, lengths, :].set(
         v_st[:, 0].astype(v_full.dtype))
     C = k_full.shape[-1]
-    # B >= 32: kernel loses below (b=8: 4.6->2.8, b=16: 5.5->4.0 req/s)
-    if (B >= 32 and cfg.use_decode_attention and C % 128 == 0
+    # bf16 KV only (ks_full None): int8-cache decode always takes the XLA
+    # fused-dequant path (faster everywhere measured); bf16 engages the
+    # kernel from cfg.decode_attention_min_batch (default 8) up
+    if (B >= cfg.decode_attention_min_batch and ks_full is None
+            and cfg.use_decode_attention and C % 128 == 0
             and jax.default_backend() == "tpu"):
         from ..ops.pallas.decode_attention import decode_attention_cached
 
@@ -331,6 +335,18 @@ class Completion(NamedTuple):
     steps_waited: int          # decode steps from admission to completion
 
 
+class Chunk(NamedTuple):
+    """Incremental frames for one request (streaming mode). The consumer
+    decodes `means` through the codec and appends to the request's wav
+    stream (serve/web.wav_chunk_header emits a length-agnostic header, ref
+    backup/web.py:145 chunked-wav convention)."""
+    index: int                 # request index
+    means: np.ndarray          # (k, d) new frames since the last chunk
+    samples: np.ndarray        # (k, d)
+    start_frame: int           # offset of means[0] in the full stream
+    final: bool                # True on the request's last chunk
+
+
 class ContinuousBatcher:
     """Admit prompts into free rows of a persistent decode batch.
 
@@ -424,3 +440,85 @@ class ContinuousBatcher:
 
     def run(self, prompts: Iterable[np.ndarray]) -> List[Completion]:
         return list(self.run_iter(prompts))
+
+    def serve(self, prompts: Sequence[np.ndarray],
+              arrivals: Optional[Sequence[float]] = None,
+              chunk_frames: int = 0, clock=None, sleep=None):
+        """Open-loop serving: requests become admittable at `arrivals[i]`
+        seconds (relative to the call; None = all at t=0, closed loop), and
+        with chunk_frames > 0 the device is synced every chunk_frames decode
+        steps to stream Chunk events for live rows — TTFA is the first
+        chunk, not the completion.
+
+        Yields ("chunk", Chunk) and ("done", Completion) events. `clock` /
+        `sleep` default to time.monotonic / time.sleep (tests inject fakes
+        — a fake clock MUST come with a fake sleep, else idle waits for a
+        future arrival would sleep real seconds).
+        """
+        import time as _time
+
+        clock = clock or _time.monotonic
+        sleep = sleep or _time.sleep
+        t0 = clock()
+        arr = list(arrivals) if arrivals is not None else [0.0] * len(prompts)
+        order = sorted(range(len(prompts)), key=lambda i: arr[i])
+        pending = [(i, np.asarray(prompts[i], np.int32)) for i in order]
+        pending.reverse()  # pop() takes them in arrival order
+        emitted = {}  # req idx -> frames already streamed
+        n_done, n_total = 0, len(prompts)
+        sync_steps = chunk_frames if chunk_frames > 0 else self.max_frames + 1
+
+        while n_done < n_total:
+            now = clock() - t0
+            active = np.asarray(self.state.active)
+            free = [r for r in range(self.B) if not active[r]]
+            while pending and free and arr[pending[-1][0]] <= now:
+                idx, ids = pending.pop()
+                self._admit(free.pop(0), idx, ids)
+                emitted[idx] = 0
+            if not np.asarray(self.state.active).any():
+                if not pending:
+                    break  # nothing live, nothing waiting
+                sleep(max(0.0, arr[pending[-1][0]] - (clock() - t0)))
+                continue
+            self.state, self.rng, n = decode_until(
+                self.params, self.state, self.cfg, self.rng,
+                max_steps=sync_steps, greedy=self.greedy)
+            self.step_count += int(n)
+
+            if chunk_frames > 0:
+                # one bulk fetch per sync, then slice per live row
+                n_frames = np.asarray(self.state.n_frames)
+                done = np.asarray(self.state.done)
+                active = np.asarray(self.state.active)
+                means = None
+                for r in range(self.B):
+                    idx = self.row_req[r]
+                    if idx is None or not active[r]:
+                        continue
+                    # stream up to n-1 emitted frames (the final frame is
+                    # discarded, model_sigmaVAE.py:147) once known-done;
+                    # live rows stream everything they have so far minus 1
+                    # (the last frame could turn out to be the discard)
+                    avail = max(int(n_frames[r]) - 1, 0)
+                    lo = emitted[idx]
+                    if avail > lo:
+                        if means is None:
+                            means = np.asarray(self.state.means, np.float32)
+                            samples = np.asarray(self.state.samples,
+                                                 np.float32)
+                        yield ("chunk", Chunk(
+                            index=idx, means=means[r, lo:avail],
+                            samples=samples[r, lo:avail],
+                            start_frame=lo, final=bool(done[r])))
+                        emitted[idx] = avail
+
+            for c in self._harvest():
+                n_done += 1
+                if chunk_frames > 0 and emitted.get(c.index, 0) < c.n_frames:
+                    lo = emitted[c.index]
+                    yield ("chunk", Chunk(
+                        index=c.index, means=c.means[lo:],
+                        samples=c.samples[lo:], start_frame=lo, final=True))
+                    emitted[c.index] = c.n_frames
+                yield ("done", c)

@@ -235,11 +235,13 @@ def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, cache_kv=None,
             v_full, jnp.transpose(v_st, (0, 2, 1, 3))[None].astype(
                 v_full.dtype), (li, 0, 0, cache_len, 0))
         c = k_full.shape[-1]
-        # b >= 32: below that the kernel's fixed per-block costs lose to
-        # XLA (measured: b=1 TTFA 0.068 -> 0.086 s; b=8 serving 4.6 -> 2.8
-        # req/s; b=16 serving 5.5 -> 4.0 req/s with the kernel on; at b=32
-        # the kernel wins +27% at cache 1024)
-        if (t == 1 and b >= 32 and cfg.use_decode_attention and c % 128 == 0
+        # bf16 KV only (ks_full None): with an int8 cache XLA's fused
+        # dequant-attention matches/beats the kernel everywhere measured;
+        # for bf16 the kernel wins from b=8 up (+4%..+27%, growing with
+        # batch and cache — decode_microbench r3, see config.py)
+        if (t == 1 and b >= cfg.decode_attention_min_batch
+                and ks_full is None
+                and cfg.use_decode_attention and c % 128 == 0
                 and jax.default_backend() == "tpu"):
             # fused kernel reads layer li of the FULL cache via
             # scalar-prefetch — no XLA gather copy of the layer slice

@@ -23,7 +23,8 @@ passes):
     QK^T needs no in-kernel transpose, and V as (.., nkv, C, hd);
   * blocked lane dims must be 128-aligned -> C (cache length) must be a
     multiple of 128 (callers round the cache up; extra slots are masked);
-  * softmax stats live lane-replicated at width 128 (the C-block width).
+  * softmax stats live lane-replicated at width 128 (the minimum lane
+    tile — NOT the C-block width; wider stats just multiply exp traffic).
 
 GQA layout matches ops.attention.mha: q head h uses kv head h // ghd.
 """
@@ -79,10 +80,15 @@ def _kernel(li_ref, q_ref, kt_ref, v_ref, mask_ref, *rest, hd: int,
         s = s * ks_ref[:].reshape(bn, 1, cb)   # per-column K scale
     s = s + (msk - 1.0) * (-NEG_INF)           # 0 valid, NEG_INF masked
 
-    m_prev = m_ref[:]                          # (BN, ghd, Cb) lane-replicated
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    corr = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)                     # (BN, ghd, Cb)
+    # stats live lane-replicated at the 128-lane minimum tile (NOT the full
+    # Cb block width): keeping them Cb-wide costs ~3x the exp()/scratch
+    # traffic for identical results — only column 0 is ever consumed
+    m_prev = m_ref[:]                          # (BN, ghd, 128)
+    m_new = jnp.maximum(
+        m_prev, jnp.broadcast_to(jnp.max(s, axis=-1, keepdims=True),
+                                 m_prev.shape))
+    corr = jnp.exp(m_prev - m_new)             # (BN, ghd, 128)
+    p = jnp.exp(s - m_new[..., :1])            # (BN, ghd, Cb)
     l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
     m_ref[:] = m_new
 
@@ -220,9 +226,9 @@ def decode_attention_cached(q: jnp.ndarray, k_full: jnp.ndarray,
                                lambda g, j, li: (0, 0, g, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[] if single else [
-            pltpu.VMEM((b * nkvb, ghd, cb), jnp.float32),  # running max
-            pltpu.VMEM((b * nkvb, ghd, cb), jnp.float32),  # running denom
-            pltpu.VMEM((b * nkvb, ghd, hd), jnp.float32),  # out accumulator
+            pltpu.VMEM((b * nkvb, ghd, 128), jnp.float32),  # running max
+            pltpu.VMEM((b * nkvb, ghd, 128), jnp.float32),  # running denom
+            pltpu.VMEM((b * nkvb, ghd, hd), jnp.float32),   # out accumulator
         ],
     )
     out = pl.pallas_call(

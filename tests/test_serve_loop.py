@@ -104,3 +104,61 @@ def test_int8_kv_continuous_close_to_bf16():
         a, b = ref[i].means, got[i].means
         sig = float(np.var(a)) + 1e-9
         assert float(np.mean((a - b) ** 2)) < 0.02 * sig
+
+
+def test_serve_chunks_match_run():
+    """serve(chunk_frames=2) must stream each request's frames incrementally
+    and, concatenated, reproduce run()'s completions exactly; the first
+    chunk must arrive before the request completes (that's the TTFA win)."""
+    cfg, params, prompts = _setup()
+    ref = {c.index: c for c in ContinuousBatcher(
+        params, cfg, batch_size=2, max_frames=MAXF, prompt_buckets=(8, 16),
+        greedy=True).run(prompts)}
+
+    cb = ContinuousBatcher(params, cfg, batch_size=2, max_frames=MAXF,
+                           prompt_buckets=(8, 16), greedy=True)
+    chunks, dones, first_chunk_at, done_at = {}, {}, {}, {}
+    events = list(cb.serve(prompts, chunk_frames=2))
+    for t, (ev, p) in enumerate(events):
+        if ev == "chunk":
+            chunks.setdefault(p.index, []).append(p)
+            first_chunk_at.setdefault(p.index, t)
+        else:
+            dones[p.index] = p
+            done_at[p.index] = t
+
+    assert sorted(dones) == sorted(ref)
+    for i, comp in ref.items():
+        got = np.concatenate([c.means for c in chunks[i]])
+        np.testing.assert_allclose(got, comp.means, rtol=2e-3, atol=2e-4)
+        # contiguous, non-overlapping chunk offsets
+        offs = [(c.start_frame, len(c.means)) for c in chunks[i]]
+        pos = 0
+        for s, n in offs:
+            assert s == pos
+            pos += n
+        assert pos == comp.n_frames
+        assert chunks[i][-1].final
+        assert first_chunk_at[i] < done_at[i]
+
+
+def test_serve_arrivals_gate_admission():
+    """A request whose arrival time is in the future must not be admitted
+    before the clock reaches it (fake clock: 1 decode sync ~ 1 tick)."""
+    cfg, params, prompts = _setup()
+    ticks = [0.0]
+
+    def clock():
+        ticks[0] += 1.0
+        return ticks[0]
+
+    cb = ContinuousBatcher(params, cfg, batch_size=2, max_frames=MAXF,
+                           prompt_buckets=(8, 16), greedy=True)
+    # request 2 arrives in the future relative to the fake clock; the fake
+    # sleep is a no-op (the ticking clock advances past the arrival)
+    events = list(cb.serve(prompts, arrivals=[0.0, 0.0, 50.0], clock=clock,
+                           sleep=lambda s: None))
+    dones = [p for ev, p in events if ev == "done"]
+    assert sorted(c.index for c in dones) == [0, 1, 2]
+    # all requests still complete with the right frame counts
+    assert all(c.n_frames == MAXF - 1 for c in dones)

@@ -3,9 +3,11 @@
 
 Times L=16 flagship decode-attention calls (chained inside one jitted
 fori_loop; host-fetch fence per the axon rules) for batch x cache x block
-configurations. This is the measurement behind the `b >= 32` kernel gate
-in llama._layer / serve_loop._decode_layer — rerun it when tuning
-`ops/pallas/decode_attention._pick_blocks`.
+configurations. This is the isolated-call measurement behind the kernel
+gate in llama._layer / serve_loop._decode_layer (bf16 KV + batch >=
+decode_attention_min_batch; int8 KV always takes the XLA fused-dequant
+path) — rerun it when tuning `ops/pallas/decode_attention._pick_blocks`,
+and confirm gate decisions with tools/decode_microbench.py (in-step).
 
 The XLA arm reproduces the fallback exactly: dynamic_index_in_dim layer
 gather -> GQA einsum -> masked f32 softmax -> einsum (llama.py:253-261).
@@ -36,6 +38,10 @@ def main():
     ap.add_argument("--blocks", default="",
                     help="extra (nkvb,cb) overrides to sweep, e.g. "
                          "'8x256,4x256' — default arm uses _pick_blocks")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 KV cache with per-(token, head) scales: XLA "
+                         "arm dequantizes the layer slice (llama.py "
+                         "fallback), kernel folds scales in-flight")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -62,22 +68,30 @@ def main():
             float(np.asarray(out.ravel()[0]))
         return (time.perf_counter() - t0) / reps / args.iters * 1e6  # us/call
 
-    def xla_arm(q, k_full, v_full, mask):
+    def xla_arm(q, k_full, v_full, mask, ks_full=None, vs_full=None):
         m4 = mask[:, None, None, :]
 
         def body(i, qq):
             li = jax.lax.rem(i, L)
             kt_l = jax.lax.dynamic_index_in_dim(k_full, li, 0, False)
             vt_l = jax.lax.dynamic_index_in_dim(v_full, li, 0, False)
+            if ks_full is not None:  # dequant exactly as llama.py:253-260
+                ks_l = jax.lax.dynamic_index_in_dim(ks_full, li, 0, False)
+                vs_l = jax.lax.dynamic_index_in_dim(vs_full, li, 0, False)
+                kt_l = (kt_l.astype(jnp.float32) * ks_l).astype(jnp.bfloat16)
+                vt_l = (vt_l.astype(jnp.float32)
+                        * jnp.swapaxes(vs_l, -1, -2)).astype(jnp.bfloat16)
             attn = mha_t(qq[:, None], kt_l, vt_l, m4)
             return (qq + attn[:, 0] * 1e-6).astype(qq.dtype)
 
         return jax.lax.fori_loop(0, args.iters, body, q)
 
-    def kernel_arm(q, k_full, v_full, mask, blocks=None):
+    def kernel_arm(q, k_full, v_full, mask, ks_full=None, vs_full=None,
+                   blocks=None):
         def body(i, qq):
             li = jax.lax.rem(i, L)
             attn = decode_attention_cached(qq, k_full, v_full, li, mask,
+                                           k_scale=ks_full, v_scale=vs_full,
                                            interpret=interp, blocks=blocks)
             return (qq + attn * 1e-6).astype(qq.dtype)
 
@@ -100,12 +114,22 @@ def main():
         q = jax.random.normal(kq, (b, nq, hd), jnp.bfloat16)
         k_full = jax.random.normal(kk, (L, b, nkv, hd, c), jnp.bfloat16)
         v_full = jax.random.normal(kv, (L, b, nkv, c, hd), jnp.bfloat16)
+        ks_full = vs_full = None
+        if args.int8:
+            amax = jnp.max(jnp.abs(k_full), axis=3, keepdims=True)
+            ks_full = (amax / 127.0).astype(jnp.float32)
+            k_full = jnp.round(k_full / jnp.maximum(amax, 1e-6) * 127
+                               ).astype(jnp.int8)
+            amax_v = jnp.max(jnp.abs(v_full), axis=4, keepdims=True)
+            vs_full = jnp.swapaxes(amax_v / 127.0, -1, -2).astype(jnp.float32)
+            v_full = jnp.round(v_full / jnp.maximum(amax_v, 1e-6) * 127
+                               ).astype(jnp.int8)
         # realistic ragged occupancy: rows valid up to ~3/4 of the cache
         valid = (np.arange(c)[None, :]
                  < (c * (0.5 + 0.5 * np.arange(b)[:, None] / b) + 1))
         mask = jnp.asarray(valid)
 
-        t_x = bench(xla_j, q, k_full, v_full, mask)
+        t_x = bench(xla_j, q, k_full, v_full, mask, ks_full, vs_full)
         cells = []
         auto = _pick_blocks(b, nkv, ghd, hd, c)
         for blocks in [auto] + [e for e in extra if e != auto]:
@@ -113,7 +137,8 @@ def main():
             if nkv % nkvb or c % cb:
                 continue
             try:
-                t_k = bench(kern_j, q, k_full, v_full, mask, blocks)
+                t_k = bench(kern_j, q, k_full, v_full, mask, ks_full,
+                            vs_full, blocks)
             except Exception as e:  # noqa: BLE001 — mosaic rejects some
                 cells.append(f"{nkvb}x{cb}:FAIL({type(e).__name__})")
                 continue

@@ -44,6 +44,9 @@ def main():
                     help="fused wqkv/wgu decode weight layout")
     ap.add_argument("--int8-kv", action="store_true",
                     help="int8 KV cache with per-token scales")
+    ap.add_argument("--kernel-min-batch", type=int, default=None,
+                    help="override decode_attention_min_batch (1 forces the "
+                         "fused kernel on, 10**9 forces it off)")
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -61,10 +64,13 @@ def main():
 
     cfg = _flagship_cfg()
     lcfg = cfg.llama
-    if args.int8_kv:
-        import dataclasses
+    import dataclasses
 
+    if args.int8_kv:
         lcfg = dataclasses.replace(lcfg, kv_cache_dtype="int8")
+    if args.kernel_min_batch is not None:
+        lcfg = dataclasses.replace(
+            lcfg, decode_attention_min_batch=args.kernel_min_batch)
     B, STEPS = args.batch, args.steps
     params = llasa.init_params(cfg, jax.random.key(0))
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)

@@ -29,7 +29,19 @@ def main():
     ap.add_argument("--continuous", type=int, default=0, metavar="N",
                     help="continuous-batching curve: N requests through "
                          "infer.serve_loop at batch sizes 1/2/4/8/16 "
-                         "(32+ engages the fused decode-attention kernel)")
+                         "(8+ engages the fused decode-attention kernel "
+                         "for bf16 KV caches)")
+    ap.add_argument("--kernel-min-batch", type=int, default=None,
+                    help="override decode_attention_min_batch (1 forces the "
+                         "fused kernel on, 10**9 forces it off)")
+    ap.add_argument("--poisson", default="", metavar="RATES",
+                    help="open-loop SLO bench: comma-separated arrival "
+                         "rates (req/s); each rate serves --continuous N "
+                         "requests with Exp-distributed inter-arrivals "
+                         "through ContinuousBatcher.serve and reports "
+                         "p50/p95 TTFA + e2e under load")
+    ap.add_argument("--serve-batch", type=int, default=8,
+                    help="decode batch for the --poisson server")
     args = ap.parse_args()
 
     if args.platform:
@@ -60,11 +72,58 @@ def main():
         codec = Codec.random_init("sigma")
         dt = jnp.bfloat16
 
+    if args.kernel_min_batch is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, llama=dataclasses.replace(
+            cfg.llama, decode_attention_min_batch=args.kernel_min_batch))
+
     params = llasa.init_params(cfg, jax.random.key(0))
     params = jax.tree.map(lambda x: x.astype(dt), params)
 
     rng = np.random.default_rng(0)
     frame_hz = codec.cfg.frame_rate
+
+    if args.poisson:
+        from kalle_tpu.infer.serve_loop import ContinuousBatcher
+
+        n_req = args.continuous or 32
+        lens = rng.integers(8, 60, (n_req,))
+        prompts = [rng.integers(0, cfg.llama.vocab_size - 9, (l,))
+                   .astype(np.int32) for l in lens]
+        bsz = args.serve_batch
+        # compile everything once on a throwaway batcher
+        ContinuousBatcher(params, cfg, batch_size=bsz,
+                          max_frames=args.max_frames,
+                          prompt_buckets=(16, 32, 64)).run(prompts[:bsz])
+        for rate in (float(r) for r in args.poisson.split(",")):
+            arrivals = np.cumsum(rng.exponential(1.0 / rate, n_req)).tolist()
+            cb = ContinuousBatcher(params, cfg, batch_size=bsz,
+                                   max_frames=args.max_frames,
+                                   prompt_buckets=(16, 32, 64))
+            ttfa, e2e = {}, {}
+            t0 = time.perf_counter()
+            for ev, p in cb.serve(prompts, arrivals=arrivals,
+                                  chunk_frames=args.chunk_frames):
+                now = time.perf_counter() - t0
+                if ev == "chunk" and p.index not in ttfa:
+                    ttfa[p.index] = now - arrivals[p.index]
+                elif ev == "done":
+                    e2e[p.index] = now - arrivals[p.index]
+            wall = time.perf_counter() - t0
+
+            def pct(d, q):
+                v = sorted(d.values())
+                return round(v[min(int(len(v) * q), len(v) - 1)], 3)
+
+            print(json.dumps({
+                "metric": "poisson_slo", "rate_req_s": rate, "batch": bsz,
+                "requests": n_req, "wall_s": round(wall, 2),
+                "p50_ttfa_s": pct(ttfa, 0.5), "p95_ttfa_s": pct(ttfa, 0.95),
+                "p50_e2e_s": pct(e2e, 0.5), "p95_e2e_s": pct(e2e, 0.95),
+                "chunk_frames": args.chunk_frames,
+            }))
+        return
 
     if args.continuous:
         from kalle_tpu.infer.serve_loop import ContinuousBatcher

@@ -44,6 +44,15 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="int8 weight-only LM decode (quality-gated by "
                          "tests/test_quant.py on a trained model)")
+    ap.add_argument("--stream", type=int, default=0, metavar="CHUNK_FRAMES",
+                    help="stream each wav incrementally: sync the device "
+                         "every CHUNK_FRAMES decode steps and append PCM "
+                         "chunks under an unbounded-size wav header "
+                         "(serve/web.wav_chunk_header) — playback can start "
+                         "at the first chunk")
+    ap.add_argument("--stream-ctx", type=int, default=8,
+                    help="left-context frames re-decoded per chunk to keep "
+                         "codec conv state warm across chunk boundaries")
     args = ap.parse_args()
 
     if args.platform:
@@ -108,6 +117,50 @@ def main():
     spf = codec.samples_per_frame
     t0 = time.perf_counter()
     n_done = 0
+
+    if args.stream:
+        from kalle_tpu.serve.web import wav_chunk_header
+
+        sigma = cfg.head_variant == "sigma"
+        files, bufs, ttfa = {}, {}, {}
+        for ev, payload in cb.serve(prompts, chunk_frames=args.stream):
+            if ev == "chunk":
+                ch = payload
+                if ch.index not in files:
+                    path = os.path.join(args.output_dir,
+                                        f"{ids_of[ch.index]}.wav")
+                    files[ch.index] = open(path, "wb")
+                    files[ch.index].write(
+                        wav_chunk_header(codec.sample_rate))
+                    bufs[ch.index] = np.zeros((0, ch.means.shape[-1]),
+                                              np.float32)
+                    ttfa[ch.index] = time.perf_counter() - t0
+                lat = ch.samples if sigma else ch.means
+                bufs[ch.index] = np.concatenate([bufs[ch.index], lat])
+                # re-decode with left context so codec conv receptive
+                # fields span the chunk boundary; emit only the new samples
+                lo = max(0, ch.start_frame - args.stream_ctx)
+                audio = codec.decode_latents(bufs[ch.index][None, lo:])
+                new = audio[0, :, (ch.start_frame - lo) * spf:]
+                pcm = np.clip(np.asarray(new[0], np.float32), -1, 1)
+                files[ch.index].write(
+                    (pcm * 32767).astype("<i2").tobytes())
+            else:
+                comp = payload
+                f = files.pop(comp.index, None)
+                if f:
+                    f.close()
+                bufs.pop(comp.index, None)
+                n_done += 1
+                print(f"[{time.perf_counter()-t0:7.2f}s] "
+                      f"{ids_of[comp.index]}.wav ({comp.n_frames} frames, "
+                      f"ttfa {ttfa.get(comp.index, 0.0):.2f}s)")
+        dt = time.perf_counter() - t0
+        print(json.dumps({"requests": n_done, "wall_s": round(dt, 2),
+                          "req_per_s": round(n_done / dt, 3),
+                          "chunk_frames": args.stream}))
+        return
+
     for comp in cb.run_iter(prompts):
         lat = (comp.samples if cfg.head_variant == "sigma" else comp.means)
         audio = codec.decode_latents(lat[None])

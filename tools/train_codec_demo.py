@@ -1,14 +1,22 @@
 #!/usr/bin/env python
-"""Codec-quality demonstration: overfit the sigma codec on synthesizable
-audio (chirps/tones/AM noise bursts at 24 kHz) and report the copysyn
-round-trip SNR + MRSTFT (VERDICT r1 item 4 — the reference's primary codec
-decodes real speech via external VibeVoice weights, train_offline.py:184-190;
-no weights exist in this image, so quality is demonstrated by training).
+"""Codec-quality demonstration: train the sigma codec on a synthesizable
+audio bank and report BOTH overfit (train-set) and held-out copysyn
+round-trip SNR + MRSTFT trajectories (VERDICT r1 item 4 / r2 weak 3 — the
+reference's primary codec decodes real speech via external VibeVoice
+weights, train_offline.py:184-190; no weights exist in this image, so
+quality is demonstrated by training from scratch).
+
+The bank is multi-speaker pseudo-speech: glottal pulse trains with random
+f0 contours filtered through per-speaker formant resonators, plus chirps,
+harmonic tones and AM noise — enough spectral variety that a held-out
+number is meaningful, while staying fully synthesizable (no external data).
 
 Usage:
   python tools/train_codec_demo.py [--steps 4000] [--platform cpu]
-         [--size full|small] [--out /tmp/codec_demo]
-Prints one JSON line: {"snr_db": ..., "mrstft": ..., "steps": ...}.
+         [--size full|small] [--clips 64] [--holdout 16]
+         [--out /tmp/codec_demo]
+Prints one JSON line:
+  {"snr_db": overfit, "holdout_snr_db": ..., "mrstft": ..., ...}
 """
 import argparse
 import json
@@ -19,22 +27,67 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_bank(sr: int, seconds: float, n: int):
-    """Deterministic bank of synthesizable training clips."""
+def _formant_clip(rng, sr, t, kind):
+    """One pseudo-speech/speech-adjacent clip, peak-normalized later."""
+    import numpy as np
+
+    n = len(t)
+    if kind == "speech":
+        # glottal pulse train with a wandering f0, through 3 formants
+        f0 = rng.uniform(85, 260)
+        contour = f0 * (1 + 0.12 * np.sin(2 * np.pi * rng.uniform(1, 4) * t)
+                        + 0.06 * np.cumsum(rng.standard_normal(n)) / n)
+        phase = 2 * np.pi * np.cumsum(contour) / sr
+        pulses = np.maximum(np.sin(phase), 0.0) ** 6  # glottal-ish pulses
+        sig = pulses - pulses.mean()
+        out = np.zeros(n)
+        for lo, hi in ((300, 900), (900, 2400), (2400, 3500)):
+            fc = rng.uniform(lo, hi)
+            bw = rng.uniform(80, 240)
+            r = np.exp(-np.pi * bw / sr)
+            w = 2 * np.pi * fc / sr
+            a1, a2 = 2 * r * np.cos(w), -r * r
+            y = np.zeros(n)
+            y1 = y2 = 0.0
+            b0 = (1 - r) * np.sqrt(1 - 2 * r * np.cos(2 * w) + r * r)
+            for j in range(n):  # 2-pole resonator (host-side, tiny banks)
+                y0 = b0 * sig[j] + a1 * y1 + a2 * y2
+                y2, y1 = y1, y0
+                y[j] = y0
+            out += rng.uniform(0.5, 1.0) * y
+        # breath noise shaped by the envelope
+        env = 0.5 + 0.5 * np.sin(2 * np.pi * rng.uniform(2, 5) * t)
+        return out + 0.05 * env * rng.standard_normal(n)
+    if kind == "chirp":
+        f0 = rng.uniform(100, 400)
+        rate = rng.uniform(200, 1200)
+        return np.sin(2 * np.pi * (f0 + 0.5 * rate * t) * t)
+    if kind == "tones":
+        f0 = rng.uniform(80, 500)
+        sig = np.zeros(n)
+        for h in range(1, 6):
+            sig += rng.uniform(0.1, 1.0) / h * np.sin(
+                2 * np.pi * f0 * h * t + rng.uniform(0, 6.28))
+        return sig
+    # "noise": AM-shaped colored noise
+    am = 0.5 + 0.5 * np.sin(2 * np.pi * rng.uniform(1, 8) * t)
+    x = rng.standard_normal(n)
+    return am * np.convolve(x, np.ones(8) / 8, mode="same")
+
+
+def make_bank(sr: int, seconds: float, n: int, seed: int = 0):
+    """Deterministic multi-speaker bank; ~60% pseudo-speech, rest split
+    over chirps/tones/noise."""
     import numpy as np
 
     t = np.arange(int(sr * seconds)) / sr
+    rng = np.random.default_rng(seed)
+    kinds = (["speech"] * 3 + ["chirp", "tones", "noise"])
     clips = []
-    rng = np.random.default_rng(0)
     for i in range(n):
-        f0 = 120 * (1.3 ** i)
-        chirp = np.sin(2 * np.pi * (f0 + 0.5 * 900 * t) * t)
-        tone = 0.4 * np.sin(2 * np.pi * (f0 * 2) * t + rng.uniform(0, 3))
-        am = (0.5 + 0.5 * np.sin(2 * np.pi * 3.0 * t))
-        noise = 0.15 * rng.standard_normal(t.shape) * am
-        clips.append(0.6 * chirp + tone + noise)
-    x = np.stack(clips).astype(np.float32)
-    return 0.8 * x / np.abs(x).max()
+        c = _formant_clip(rng, sr, t, kinds[i % len(kinds)])
+        clips.append(0.8 * c / (np.abs(c).max() + 1e-9))
+    return np.stack(clips).astype(np.float32)
 
 
 def main():
@@ -43,8 +96,14 @@ def main():
     ap.add_argument("--platform", default="")
     ap.add_argument("--size", default="full", choices=["full", "small"])
     ap.add_argument("--seconds", type=float, default=1.0)
-    ap.add_argument("--clips", type=int, default=8)
+    ap.add_argument("--clips", type=int, default=48,
+                    help="training clips")
+    ap.add_argument("--holdout", type=int, default=12,
+                    help="held-out clips (same distribution, disjoint seed)")
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--eval-every", type=int, default=1000)
+    ap.add_argument("--mse-weight", type=float, default=50.0)
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -66,55 +125,83 @@ def main():
         cfg = sigmavae.SigmaVAEConfig(latent_dim=16, strides=(2, 2),
                                       channels=(16, 32), blocks_per_stage=1)
     params = sigmavae.init_params(cfg, jax.random.key(0))
-    bank = make_bank(cfg.sample_rate, args.seconds, args.clips)
-    T = (bank.shape[-1] // cfg.hop) * cfg.hop  # decode length = encode*hop
-    wav = jnp.asarray(bank[:, None, :T])
+    train_bank = make_bank(cfg.sample_rate, args.seconds, args.clips, seed=0)
+    held_bank = make_bank(cfg.sample_rate, args.seconds, args.holdout,
+                          seed=777)
+    T = (train_bank.shape[-1] // cfg.hop) * cfg.hop
+    train = jnp.asarray(train_bank[:, None, :T])
+    held = jnp.asarray(held_bank[:, None, :T])
 
-    sched = optax.cosine_decay_schedule(args.lr, args.steps, 0.05)
+    sched = optax.cosine_decay_schedule(args.lr, args.steps, 0.02)
     tx = optax.adam(sched)
     opt = tx.init(params)
     resolutions = ((2048, 512, 2048), (1024, 256, 1024), (512, 128, 512))
 
-    def loss_fn(p):
+    def loss_fn(p, wav):
         y = sigmavae.decode(p, cfg, sigmavae.encode(p, cfg, wav))
         mse = jnp.mean((y - wav) ** 2)
         mr = multi_resolution_stft_loss(y[:, 0], wav[:, 0],
                                         resolutions=resolutions)
-        return 50.0 * mse + mr, (mse, mr)
+        return args.mse_weight * mse + mr, (mse, mr)
 
     @jax.jit
-    def step(p, opt):
-        (l, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+    def step(p, opt, wav):
+        (l, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(p, wav)
         u, opt = tx.update(g, opt, p)
         return optax.apply_updates(p, u), opt, l, aux
 
+    @jax.jit
+    def metrics(p, wav):
+        y = sigmavae.decode(p, cfg, sigmavae.encode(p, cfg, wav))
+        snr = 10.0 * jnp.log10(jnp.mean(wav ** 2)
+                               / (jnp.mean((y - wav) ** 2) + 1e-12))
+        mr = multi_resolution_stft_loss(y[:, 0], wav[:, 0],
+                                        resolutions=resolutions)
+        return snr, mr
+
+    rng = np.random.default_rng(1)
+    traj = []
     t0 = time.time()
     for i in range(args.steps):
-        params, opt, l, (mse, mr) = step(params, opt)
-        if i % 500 == 0:
-            print(f"step {i}: loss {float(l):.4f} mse {float(mse):.6f} "
-                  f"mrstft {float(mr):.4f} ({time.time()-t0:.0f}s)",
-                  flush=True)
+        idx = rng.choice(len(train_bank), args.batch,
+                         replace=args.batch > len(train_bank))
+        params, opt, l, (mse, mr) = step(params, opt, train[idx])
+        if i % args.eval_every == 0 or i == args.steps - 1:
+            tr_snr, tr_mr = metrics(params, train)
+            ho_snr, ho_mr = metrics(params, held)
+            row = {"step": i, "train_snr_db": round(float(tr_snr), 2),
+                   "train_mrstft": round(float(tr_mr), 4),
+                   "holdout_snr_db": round(float(ho_snr), 2),
+                   "holdout_mrstft": round(float(ho_mr), 4),
+                   "wall_s": round(time.time() - t0, 1)}
+            traj.append(row)
+            print(json.dumps(row), flush=True)
 
-    y = sigmavae.decode(params, cfg, sigmavae.encode(params, cfg, wav))
-    err = np.asarray(y - wav)
-    snr = 10 * np.log10(float(jnp.mean(wav ** 2)) / float(np.mean(err ** 2)))
-    mr = float(multi_resolution_stft_loss(y[:, 0], wav[:, 0],
-                                          resolutions=resolutions))
+    tr_snr, tr_mr = metrics(params, train)
+    ho_snr, ho_mr = metrics(params, held)
     if args.out:
         os.makedirs(args.out, exist_ok=True)
         from kalle_tpu.core.checkpoint import save_params_npz
-
-        save_params_npz(os.path.join(args.out, "sigmavae_demo.npz"), params)
         from kalle_tpu.utils.audio import write_wav
 
-        write_wav(os.path.join(args.out, "copysyn0.wav"),
+        save_params_npz(os.path.join(args.out, "sigmavae_demo.npz"), params)
+        y = sigmavae.decode(params, cfg, sigmavae.encode(params, cfg,
+                                                         held[:1]))
+        write_wav(os.path.join(args.out, "holdout_copysyn0.wav"),
                   np.asarray(y[0]), cfg.sample_rate)
-        write_wav(os.path.join(args.out, "gt0.wav"),
-                  np.asarray(wav[0]), cfg.sample_rate)
-    print(json.dumps({"snr_db": round(snr, 2), "mrstft": round(mr, 4),
-                      "steps": args.steps, "size": args.size,
-                      "wall_s": round(time.time() - t0, 1)}))
+        write_wav(os.path.join(args.out, "holdout_gt0.wav"),
+                  np.asarray(held[0]), cfg.sample_rate)
+        with open(os.path.join(args.out, "trajectory.jsonl"), "w") as f:
+            for row in traj:
+                f.write(json.dumps(row) + "\n")
+    print(json.dumps({
+        "snr_db": round(float(tr_snr), 2),
+        "mrstft": round(float(tr_mr), 4),
+        "holdout_snr_db": round(float(ho_snr), 2),
+        "holdout_mrstft": round(float(ho_mr), 4),
+        "steps": args.steps, "size": args.size,
+        "clips": args.clips, "holdout_clips": args.holdout,
+        "wall_s": round(time.time() - t0, 1)}))
 
 
 if __name__ == "__main__":
