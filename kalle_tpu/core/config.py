@@ -75,6 +75,10 @@ class LlamaConfig:
     # TTFA (0.068 -> 0.086 s, round 2); from 8 up it wins for bf16 KV.
     # Tunable so benches can force the kernel on (1) or off (big).
     decode_attention_min_batch: int = 8
+    # test hook: run the decode-attention kernel in Pallas interpret mode
+    # off-TPU so CPU tests can exercise the serving loop's kernel branch
+    # (sideband column + dynamic_update_slice chain) end to end.
+    decode_attention_interpret: bool = False
     # "int8" stores the KV cache quantized with per-(token, kv-head) absmax
     # scales: half the KV HBM traffic / double the servable context. The
     # decode kernel folds the scales into its two matmuls (no dequantized

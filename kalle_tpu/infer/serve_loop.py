@@ -153,7 +153,7 @@ def insert(state: ServeState, row: jnp.ndarray, row_k: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _decode_layer(cfg, x, lp, cos, sin, k_full, v_full, ks_full, vs_full,
-                  li, lengths, mask):
+                  li, lengths, mask, prev_valid=None, live=None):
     """x (B,1,h); k_full (L,B,nkv,hd,C) / v_full (L,B,nkv,C,hd) (the
     llama.KVCache decode layouts); writes each row's new KV at its own slot
     IN PLACE on the full layer-stacked cache (scatter over rows at layer
@@ -164,7 +164,14 @@ def _decode_layer(cfg, x, lp, cos, sin, k_full, v_full, ks_full, vs_full,
     decode kernel on TPU when the cache length is 128-aligned AND the KV
     cache is bf16 AND the batch is >= cfg.decode_attention_min_batch
     (default 8); int8 caches always take the XLA fused-dequant path, which
-    measures faster (see the gate below and docs/inference.md)."""
+    measures faster (see the gate below and docs/inference.md).
+
+    The kernel branch reads the PRE-scatter cache and receives this step's
+    K/V as a sideband column (prev_valid (B,C) = validity before this step,
+    live (B,) = rows whose sideband column counts): feeding the scattered
+    cache to the pallas_call instead makes XLA copy the whole cache every
+    layer (it can't prove in-place aliasing across a custom call) — the
+    round-3 profile showed those copies were 9 of the 12 ms/step at b=8."""
     dt = x.dtype
     B = x.shape[0]
     nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -190,24 +197,44 @@ def _decode_layer(cfg, x, lp, cos, sin, k_full, v_full, ks_full, vs_full,
         vs_full = vs_full.at[li, rows, :, 0, lengths].set(vs[:, 0, :, 0])
     else:
         k_st, v_st = k, v
-    # frozen rows overwrite their own slot harmlessly (masked out of valid)
-    k_full = k_full.at[li, rows, :, :, lengths].set(
-        k_st[:, 0].astype(k_full.dtype))
-    v_full = v_full.at[li, rows, :, lengths, :].set(
-        v_st[:, 0].astype(v_full.dtype))
     C = k_full.shape[-1]
-    # bf16 KV only (ks_full None): int8-cache decode always takes the XLA
-    # fused-dequant path (faster everywhere measured); bf16 engages the
-    # kernel from cfg.decode_attention_min_batch (default 8) up
-    if (B >= cfg.decode_attention_min_batch and ks_full is None
-            and cfg.use_decode_attention and C % 128 == 0
-            and jax.default_backend() == "tpu"):
+    on_tpu = jax.default_backend() == "tpu"
+    use_kernel = (B >= cfg.decode_attention_min_batch and ks_full is None
+                  and cfg.use_decode_attention and C % 128 == 0
+                  and prev_valid is not None
+                  and (on_tpu or cfg.decode_attention_interpret))
+    if use_kernel:
+        # the kernel reads the PRE-update cache (this step's column rides
+        # the k_new/v_new sideband), so the ragged cache write stays out of
+        # its read path: a vector-index scatter feeding the pallas_call
+        # forces a {3,2,4,1,0} cache layout conflicting with the kernel's
+        # default layout, and XLA inserts two 67 MB layout-conversion
+        # copies per layer (~9 of 12 ms/step at b=8 cache 256,
+        # tools/serve_profile.py --profile). The write itself is a per-row
+        # dynamic_update_slice CHAIN (static row index, dynamic li/length)
+        # — layout-neutral, updates the donated buffer in place.
         from ..ops.pallas.decode_attention import decode_attention_cached
 
-        attn = decode_attention_cached(q[:, 0], k_full, v_full, li,
-                                       mask[:, 0, 0, :], k_scale=ks_full,
-                                       v_scale=vs_full)[:, None]
+        attn = decode_attention_cached(
+            q[:, 0], k_full, v_full, li, prev_valid,
+            k_new=k_st[:, 0], v_new=v_st[:, 0], new_valid=live,
+            interpret=not on_tpu)[:, None]
+        kk = k_st[:, 0].astype(k_full.dtype)  # (B, nkv, hd)
+        vv = v_st[:, 0].astype(v_full.dtype)
+        zero = jnp.int32(0)
+        for r in range(B):
+            k_full = jax.lax.dynamic_update_slice(
+                k_full, kk[r][None, None, :, :, None],
+                (li, jnp.int32(r), zero, zero, lengths[r]))
+            v_full = jax.lax.dynamic_update_slice(
+                v_full, vv[r][None, None, :, None, :],
+                (li, jnp.int32(r), zero, lengths[r], zero))
     else:
+        # frozen rows overwrite their slot harmlessly (masked out of valid)
+        k_full = k_full.at[li, rows, :, :, lengths].set(
+            k_st[:, 0].astype(k_full.dtype))
+        v_full = v_full.at[li, rows, :, lengths, :].set(
+            v_st[:, 0].astype(v_full.dtype))
         kt_l = jax.lax.dynamic_index_in_dim(k_full, li, 0, False)
         vt_l = jax.lax.dynamic_index_in_dim(v_full, li, 0, False)
         if ks_full is not None:
@@ -273,7 +300,7 @@ def decode_step(params: dict, state: ServeState, cfg: LlasaConfig,
         li, lp = layer_in
         x, (k_full, v_full, ks, vs) = _decode_layer(
             lcfg, x, lp, cos, sin, k_full, v_full, ks, vs, li,
-            state.length, mask)
+            state.length, mask, prev_valid=state.valid, live=live)
         return (x, k_full, v_full, ks, vs), None
 
     (x, new_k, new_v, new_ks, new_vs), _ = jax.lax.scan(

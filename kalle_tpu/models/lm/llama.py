@@ -166,16 +166,26 @@ def embed_tokens(params: dict, input_ids: jnp.ndarray, cfg: LlamaConfig) -> jnp.
 # ---------------------------------------------------------------------------
 
 def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, cache_kv=None,
-           cache_len=None, flash_pad_mask=None, flash_interpret=False):
+           cache_len=None, flash_pad_mask=None, flash_interpret=False,
+           tp_axis=None):
     """One transformer block. cache_kv: optional (k_full, v_full, li) —
     the FULL (L, b, max_len, n_kv, hd) caches plus the layer index; the new
     K/V entries are written in place at (li, :, cache_len) and attention
     reads the updated layer slice. Returns (x_out, (k_full, v_full)).
     flash_pad_mask: when set (b, t), attention runs through the Pallas
-    flash kernel (differentiable — custom VJP) instead of the XLA path."""
+    flash kernel (differentiable — custom VJP) instead of the XLA path.
+    tp_axis: manual tensor parallelism for shard_map bodies (pp x tp): lp
+    holds this rank's Megatron column/row shards (heads and ffn columns
+    divided by the tp size), x/mask are replicated over tp, and the
+    row-parallel wo/wd matmul outputs are psum-reduced over `tp_axis`
+    before the residual adds."""
     dt = jnp.dtype(cfg.dtype)
     b, t, h = x.shape
     nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    tp_n = 1 if tp_axis is None else jax.lax.axis_size(tp_axis)
+    if tp_n > 1:
+        assert nq % tp_n == 0 and nkv % tp_n == 0, (nq, nkv, tp_n)
+        nq, nkv = nq // tp_n, nkv // tp_n
 
     from ...ops.quant import maybe_matmul
 
@@ -194,6 +204,9 @@ def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, cache_kv=None,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
+    def psum_tp(y):  # row-parallel partial sums -> full output
+        return y if tp_axis is None else jax.lax.psum(y, tp_axis)
+
     def mlp(x):
         mlp_in = rms_norm(x, lp["mlp_norm"].astype(dt), cfg.rms_norm_eps)
         if "wgu" in lp:  # fused decode layout: one gate|up stream
@@ -203,14 +216,14 @@ def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, cache_kv=None,
         else:
             gate = jax.nn.silu(maybe_matmul(mlp_in, lp["wg"]))
             up = maybe_matmul(mlp_in, lp["wu"])
-        return x + maybe_matmul(gate * up, lp["wd"])
+        return x + psum_tp(maybe_matmul(gate * up, lp["wd"]))
 
     if flash_pad_mask is not None and cache_kv is None:
         from ...ops.pallas.flash_attention import flash_attention
 
         attn = flash_attention(q, k, v, flash_pad_mask,
                                interpret=flash_interpret)
-        x = x + maybe_matmul(attn.reshape(b, t, nq * hd), lp["wo"])
+        x = x + psum_tp(maybe_matmul(attn.reshape(b, t, nq * hd), lp["wo"]))
         return mlp(x), (k, v)
 
     if cache_kv is not None:
@@ -266,7 +279,7 @@ def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, cache_kv=None,
         attn = mha(q, k, v, mask)
         new_kv = (k, v)
 
-    x = x + maybe_matmul(attn.reshape(b, t, nq * hd), lp["wo"])
+    x = x + psum_tp(maybe_matmul(attn.reshape(b, t, nq * hd), lp["wo"]))
     return mlp(x), new_kv
 
 
@@ -310,13 +323,18 @@ def forward(
         # pipeline parallelism: layers partitioned over pp stages,
         # microbatches rotate through them (parallel/pipeline.py). The mask
         # travels with its microbatch; attention uses the XLA path (the
-        # per-stage microbatch shapes are small).
+        # per-stage microbatch shapes are small). With a tp axis in the
+        # mesh, each stage's layer weights are additionally Megatron-
+        # sharded and the body psums over tp (pp x tp composition).
         pmask = mask if mask is not None else make_causal_padding_mask(
             attention_mask, t)
+        from ...parallel.mesh import TP_AXIS
+        shape = dict(ambient.shape)
+        tp_ax = (TP_AXIS if shape.get(TP_AXIS, 1) > 1 else None)
 
         def pp_layer(state, lp):
             h, mk = state
-            h, _ = _layer(cfg, h, lp, cos, sin, mk)
+            h, _ = _layer(cfg, h, lp, cos, sin, mk, tp_axis=tp_ax)
             return h, mk
 
         if cfg.remat:

@@ -41,9 +41,26 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 BLOCK_C = 128
 
 
+def _sideband_scores(q, kn_ref, nv_ref, b, nkvb, ghd, hd):
+    """Scores for the sideband current-frame column: (BN, ghd, 1) masked by
+    per-row validity. MXU dot_generals throughout — no sublane broadcasts
+    (Mosaic rejects them at these shapes)."""
+    bn = b * nkvb
+    kn = kn_ref[:].reshape(bn, 1, hd).astype(jnp.float32)
+    s_cur = jax.lax.dot_general(
+        q.astype(jnp.float32), kn, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * (hd ** -0.5)  # (BN, ghd, 1)
+    nv = jnp.broadcast_to(nv_ref[:][:, None, None, :],
+                          (b, nkvb, ghd, 128)).reshape(bn, ghd, 128)
+    return s_cur + (nv[..., :1] - 1.0) * (-NEG_INF)
+
+
 def _kernel(li_ref, q_ref, kt_ref, v_ref, mask_ref, *rest, hd: int,
-            quant: bool):
+            quant: bool, sideband: bool):
     del li_ref  # consumed by the BlockSpec index maps (layer selection)
+    kn_ref = vn_ref = nv_ref = None
+    if sideband:
+        kn_ref, vn_ref, nv_ref, *rest = rest
     if quant:
         ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
     else:
@@ -101,16 +118,34 @@ def _kernel(li_ref, q_ref, kt_ref, v_ref, mask_ref, *rest, hd: int,
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _():
-        l = jnp.maximum(l_ref[:][..., :1], 1e-30)  # all-masked row guard
-        o_ref[:] = (acc_ref[:] / l).reshape(1, b, nkvb, ghd, hd).astype(
+        m_fin, l_fin, acc_fin = m_ref[:], l_ref[:], acc_ref[:]
+        if sideband:
+            # merge the current-frame column (not yet in the cache — the
+            # serving loop's ragged scatter is decoupled from the kernel
+            # read so XLA can alias it in place; see decode_attention_cached)
+            s_cur = _sideband_scores(q, kn_ref, nv_ref, b, nkvb, ghd, hd)
+            s_cur_w = jnp.broadcast_to(s_cur, m_fin.shape)
+            m_new = jnp.maximum(m_fin, s_cur_w)
+            corr2 = jnp.exp(m_fin - m_new)
+            p_cur = jnp.exp(s_cur - m_new[..., :1])     # (BN, ghd, 1)
+            l_fin = l_fin * corr2 + jnp.exp(s_cur_w - m_new)
+            vn = vn_ref[:].reshape(bn, 1, hd).astype(jnp.float32)
+            acc_fin = acc_fin * corr2[..., :1] + jax.lax.dot_general(
+                p_cur, vn, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+        l = jnp.maximum(l_fin[..., :1], 1e-30)  # all-masked row guard
+        o_ref[:] = (acc_fin / l).reshape(1, b, nkvb, ghd, hd).astype(
             o_ref.dtype)
 
 
 def _kernel_single(li_ref, q_ref, kt_ref, v_ref, mask_ref, *rest, hd: int,
-                   quant: bool):
+                   quant: bool, sideband: bool):
     """Single-column-block fast path (c == cb): plain softmax, no online
     accumulation scratch — saves the m/l/acc zeroing and round-trips."""
     del li_ref
+    kn_ref = vn_ref = nv_ref = None
+    if sideband:
+        kn_ref, vn_ref, nv_ref, *rest = rest
     if quant:
         ks_ref, vs_ref, o_ref = rest
     else:
@@ -135,6 +170,22 @@ def _kernel_single(li_ref, q_ref, kt_ref, v_ref, mask_ref, *rest, hd: int,
     if quant:
         s = s * ks_ref[:].reshape(bn, 1, cb)
     s = s + (msk - 1.0) * (-NEG_INF)
+
+    if sideband:  # current-frame column rides beside the cache blocks
+        s_cur = _sideband_scores(q, kn_ref, nv_ref, b, nkvb, ghd, hd)
+        m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_cur)
+        p = jnp.exp(s - m)
+        p_cur = jnp.exp(s_cur - m)                   # (BN, ghd, 1)
+        l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True) + p_cur, 1e-30)
+        vn = vn_ref[:].reshape(bn, 1, hd).astype(jnp.float32)
+        pv = jax.lax.dot_general(
+            (p / l).astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        pv = pv + jax.lax.dot_general(
+            p_cur / l, vn, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        o_ref[:] = pv.reshape(o_ref.shape).astype(o_ref.dtype)
+        return
 
     p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
     l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
@@ -166,6 +217,7 @@ def _pick_blocks(b, nkv, ghd, hd, c):
 def decode_attention_cached(q: jnp.ndarray, k_full: jnp.ndarray,
                             v_full: jnp.ndarray, li, mask: jnp.ndarray,
                             k_scale=None, v_scale=None,
+                            k_new=None, v_new=None, new_valid=None,
                             interpret: bool = False,
                             blocks=None) -> jnp.ndarray:
     """One decode frame of GQA attention, reading layer `li` of the FULL
@@ -181,6 +233,24 @@ def decode_attention_cached(q: jnp.ndarray, k_full: jnp.ndarray,
     mask   (B, C)               bool/0-1, True = may attend
     k_scale, v_scale            optional (L, B, nkv, 1, C) f32 — int8-cache
                                 per-(token, head) scales (k/v int8 then)
+    k_new, v_new, new_valid     optional sideband current-frame column:
+        (B, nkv, hd) roped K / V of THIS step plus a (B,) validity flag.
+        When given, `mask` must be the PRE-update cache validity (current
+        column excluded) and the kernel merges the extra column into the
+        softmax itself. This keeps the serving loop's ragged cache write
+        OUT of the kernel's READ path: an XLA vector-index scatter feeding
+        the pallas_call forces a cache layout ({3,2,4,1,0} — scattered
+        dims major) conflicting with the default layout this call
+        requires, and XLA then inserts TWO 67 MB layout-conversion copies
+        per LAYER (~9 of 12 ms/step at b=8 cache 256,
+        tools/serve_profile.py --profile round 3). The caller writes the
+        column with a per-row dynamic_update_slice CHAIN instead (layout-
+        neutral; see serve_loop._decode_layer). An in-kernel DMA write on
+        input_output-aliased cache buffers was implemented and REJECTED by
+        Mosaic on v5e: the K-cache column write at a dynamic cache offset
+        is a width-1 lane-dim slice, and Mosaic requires lane slices to be
+        128-aligned (interpret mode passes; the chip doesn't).
+        bf16 caches only (serving's kernel path is bf16-gated).
     ->     (B, nq, hd)
     blocks: optional (nkvb, cb) grid-block override for tuning.
     """
@@ -194,36 +264,52 @@ def decode_attention_cached(q: jnp.ndarray, k_full: jnp.ndarray,
     mask3 = jnp.broadcast_to(mask.astype(jnp.float32)[:, None, :],
                              (b, ghd, c))
     quant = k_scale is not None
+    sideband = k_new is not None
+    assert not (quant and sideband), \
+        "sideband current-frame column is bf16-KV only"
 
+    # index maps take (*grid, *scalar_prefetch_refs); s[0] is the layer
+    # index ref
     in_specs = [
         pl.BlockSpec((1, b, nkvb, ghd, hd),
-                     lambda g, j, li: (0, 0, g, 0, 0),
+                     lambda g, j, *s: (0, 0, g, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, b, nkvb, hd, cb),
-                     lambda g, j, li: (li[0], 0, g, 0, j),
+                     lambda g, j, *s: (s[0][0], 0, g, 0, j),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, b, nkvb, cb, hd),
-                     lambda g, j, li: (li[0], 0, g, j, 0),
+                     lambda g, j, *s: (s[0][0], 0, g, j, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((b, ghd, cb), lambda g, j, li: (0, 0, j),
+        pl.BlockSpec((b, ghd, cb), lambda g, j, *s: (0, 0, j),
                      memory_space=pltpu.VMEM),
     ]
-    args = [jnp.asarray(li, jnp.int32).reshape(1),
-            q.reshape(1, b, nkv, ghd, hd), k_full, v_full, mask3]
+    scalars = [jnp.asarray(li, jnp.int32).reshape(1)]
+    args = [q.reshape(1, b, nkv, ghd, hd), k_full, v_full, mask3]
+    if sideband:
+        new_spec = pl.BlockSpec((1, b, nkvb, 1, hd),
+                                lambda g, j, *s: (0, 0, g, 0, 0),
+                                memory_space=pltpu.VMEM)
+        in_specs += [new_spec, new_spec,
+                     pl.BlockSpec((b, 128), lambda g, j, *s: (0, 0),
+                                  memory_space=pltpu.VMEM)]
+        args += [k_new.reshape(1, b, nkv, 1, hd),
+                 v_new.reshape(1, b, nkv, 1, hd),
+                 jnp.broadcast_to(
+                     new_valid.astype(jnp.float32)[:, None], (b, 128))]
     if quant:
         scale_spec = pl.BlockSpec((1, b, nkvb, 1, cb),
-                                  lambda g, j, li: (li[0], 0, g, 0, j),
+                                  lambda g, j, *s: (s[0][0], 0, g, 0, j),
                                   memory_space=pltpu.VMEM)
         in_specs += [scale_spec, scale_spec]
         args += [k_scale, v_scale]
 
     single = c == cb  # one column block: no online-softmax scratch needed
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=len(scalars),
         grid=(nkv // nkvb, c // cb),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, b, nkvb, ghd, hd),
-                               lambda g, j, li: (0, 0, g, 0, 0),
+                               lambda g, j, *s: (0, 0, g, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[] if single else [
             pltpu.VMEM((b * nkvb, ghd, 128), jnp.float32),  # running max
@@ -233,11 +319,11 @@ def decode_attention_cached(q: jnp.ndarray, k_full: jnp.ndarray,
     )
     out = pl.pallas_call(
         functools.partial(_kernel_single if single else _kernel,
-                          hd=hd, quant=quant),
+                          hd=hd, quant=quant, sideband=sideband),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, b, nkv, ghd, hd), q.dtype),
         interpret=interpret,
-    )(*args)
+    )(*scalars, *args)
     return out.reshape(b, nq, hd)
 
 

@@ -27,19 +27,25 @@ PP_AXIS = "pp"
 
 def make_mesh(dp: int = -1, tp: int = 1, sp: int = 1, pp: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """dp x tp (x sp) mesh, or dp x pp when pp > 1. sp enables sequence
-    parallelism: activation sequence dims get constrained to the sp axis in
-    the backbone (GSPMD inserts the attention all-gathers/reduce-scatters
-    over ICI). pp enables GPipe pipeline parallelism over the stacked layer
-    axis (parallel/pipeline.py); tp/sp inside pp stages is unsupported (the
-    layer body would need manual psums under shard_map)."""
+    """dp x tp (x sp) mesh, or dp x pp (x tp) when pp > 1. sp enables
+    sequence parallelism: activation sequence dims get constrained to the sp
+    axis in the backbone (GSPMD inserts the attention all-gathers/reduce-
+    scatters over ICI). pp enables GPipe pipeline parallelism over the
+    stacked layer axis (parallel/pipeline.py); tp inside pp stages runs
+    Megatron-style with manual psums in the shard_map layer body
+    (llama._layer tp_axis); sp inside pp is unsupported. tp is the
+    innermost (fastest-varying) mesh dim so its per-matmul collectives ride
+    the shortest ICI hops."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if pp > 1:
-        assert tp == 1 and sp == 1, "pp composes with dp only"
+        assert sp == 1, "pp does not compose with sp"
         if dp == -1:
-            dp = n // pp
-        assert dp * pp == n, f"dp({dp})*pp({pp}) != devices({n})"
+            dp = n // (pp * tp)
+        assert dp * pp * tp == n, f"dp({dp})*pp({pp})*tp({tp}) != devices({n})"
+        if tp > 1:
+            arr = np.asarray(devices).reshape(dp, pp, tp)
+            return Mesh(arr, (DP_AXIS, PP_AXIS, TP_AXIS))
         arr = np.asarray(devices).reshape(dp, pp)
         return Mesh(arr, (DP_AXIS, PP_AXIS))
     if dp == -1:
@@ -116,12 +122,16 @@ def param_pspecs(llasa_params: dict, fsdp: bool = False,
     chips at dp >= 2.
 
     pp=True partitions the stacked layer axis L over the pp mesh axis
-    (GPipe stages, parallel/pipeline.py); tp must be 1 then, and
-    embeddings/heads are replicated.
+    (GPipe stages, parallel/pipeline.py). Layer weights ALSO carry tp specs
+    (pp x tp composition: each stage's layer shards split Megatron-style
+    over tp and the shard_map layer body psums — llama._layer tp_axis);
+    shard_params prunes the tp axis when the mesh doesn't have one, so
+    pp-only meshes keep their old replicated-within-stage layout.
     """
     if pp:
-        assert not fsdp, "pp composes with dp only"
-        tp = None
+        assert not fsdp, "pp composes with dp (x tp) only, not fsdp"
+        tp = TP_AXIS
+
         def lp(spec_without_l):
             return P(PP_AXIS, *spec_without_l)
     else:
@@ -161,12 +171,30 @@ def batch_pspec() -> P:
     return P(DP_AXIS)
 
 
+def prune_spec(spec: P, axis_names) -> P:
+    """Drop mesh-axis names absent from `axis_names` from a PartitionSpec
+    (those dims fall back to replicated) — lets param_pspecs emit the full
+    dp/tp/pp layout and meshes with fewer axes still shard what they have."""
+    out = []
+    for el in spec:
+        if el is None:
+            out.append(None)
+        elif isinstance(el, tuple):
+            kept = tuple(a for a in el if a in axis_names)
+            out.append(kept if len(kept) > 1 else (kept[0] if kept else None))
+        else:
+            out.append(el if el in axis_names else None)
+    return P(*out)
+
+
 def shard_params(params: dict, mesh: Mesh, fsdp: bool = False,
                  pp: bool = False) -> dict:
     specs = param_pspecs(params, fsdp=fsdp, pp=pp)
+    names = set(mesh.axis_names)
     return jax.device_put(
-        params, jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
-                             is_leaf=lambda x: isinstance(x, P)))
+        params, jax.tree.map(
+            lambda s: NamedSharding(mesh, prune_spec(s, names)), specs,
+            is_leaf=lambda x: isinstance(x, P)))
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:

@@ -17,10 +17,13 @@ its resident state, stage S-1 emits microbatch t-(S-1), and states rotate
 one stage rightward. Bubble fraction = (S-1)/(M+S-1); pick
 n_microbatches >= 4*pp for >80% utilization.
 
-Composition: dp x pp meshes — batch sharded over dp outside the pipeline,
-each dp replica runs an independent pipeline down its pp column. tp inside
-pp stages is not supported (the layer body would need manual psums under
-shard_map); parallel.mesh.make_mesh asserts tp == sp == 1 when pp > 1.
+Composition: dp x pp (x tp) meshes — batch sharded over dp outside the
+pipeline, each dp replica runs an independent pipeline down its pp column,
+and with a tp axis present each stage's layer weights additionally shard
+Megatron-style over tp: the shard_map layer body computes with its local
+heads/ffn columns and psums the row-parallel (wo, wd) matmul outputs over
+tp (llama._layer tp_axis). sp inside pp is unsupported
+(parallel.mesh.make_mesh asserts sp == 1 when pp > 1).
 """
 from __future__ import annotations
 
@@ -116,7 +119,14 @@ def pipelined_layer_stack(
     shape = dict(mesh.shape)
     n_stages = shape[PP_AXIS]
     bspec = P(DP_AXIS) if DP_AXIS in mesh.axis_names else P()
-    lspec = jax.tree.map(lambda _: P(PP_AXIS), layers)
+    # per-leaf specs carry the tp dims too (pp x tp composition) when the
+    # mesh has a tp axis; prune_spec drops them otherwise
+    from .mesh import param_pspecs, prune_spec
+
+    wspecs = param_pspecs(None, pp=True)["llama"]["layers"]
+    names = set(mesh.axis_names)
+    lspec = {k: prune_spec(wspecs[k], names) if k in wspecs else P(PP_AXIS)
+             for k in layers}
 
     def f(layers_local, x, mask):
         out_x, _ = pipeline_apply(layer_fn, layers_local, (x, mask),

@@ -2,7 +2,9 @@
 """Web demo launcher (tools/web_nos.py equivalent).
 
 Usage: python -m kalle_tpu.serve.app -c cfg.yaml -p ckpt [--port 7860]
-Requires gradio; degrades to a clear error otherwise.
+Default UI needs gradio (absent here -> clear error); `--http` serves the
+dependency-free stdlib streaming server instead (serve/http.py — chunked
+wav, playback starts at the first chunk).
 """
 from __future__ import annotations
 
@@ -18,6 +20,12 @@ def main():
     ap.add_argument("--codec-ckpt", default="")
     ap.add_argument("--port", type=int, default=7860)
     ap.add_argument("--max-frames", type=int, default=200)
+    ap.add_argument("--http", action="store_true",
+                    help="stdlib streaming server (no gradio needed): "
+                         "GET /tts?text=... streams chunked wav")
+    ap.add_argument("--chunk-frames", type=int, default=25,
+                    help="--http mode: decode sync interval (frames) "
+                         "between streamed chunks")
     ap.add_argument("--platform", default="")
     args = ap.parse_args()
 
@@ -46,6 +54,18 @@ def main():
         codec = Codec.load(args.codec_kind, args.codec_config, args.codec_ckpt)
     else:
         codec = Codec.random_init(args.codec_kind, latent_dim=cfg.latent_dim)
+
+    if args.http:
+        from .http import make_stream_fn, serve_http
+
+        stream = make_stream_fn(params, cfg, tokenizer, codec,
+                                chunk_frames=args.chunk_frames,
+                                max_frames=args.max_frames)
+        srv = serve_http(stream, sample_rate=codec.sample_rate,
+                         port=args.port)
+        print(f"streaming TTS server on :{args.port} (GET /tts?text=...)")
+        srv.serve_forever()
+        return
 
     it = InferTools(cfg, params, tokenizer, codec, output_root="/tmp/serve_out")
     app = build_app(it, max_frames=args.max_frames)

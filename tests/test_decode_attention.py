@@ -128,3 +128,67 @@ def test_cached_int8_scales():
                                   interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("c", [128, 384])
+def test_sideband_current_column(c):
+    """k_new/v_new/new_valid must reproduce attention over the cache WITH
+    the current column written and marked valid — at both single-block
+    (c == cb) and multi-block cache lengths. Rows with new_valid=False
+    must ignore their sideband column entirely."""
+    from kalle_tpu.ops.pallas.decode_attention import decode_attention_cached
+
+    b, nq, nkv, hd = 3, 8, 2, 16
+    rng = np.random.default_rng(42)
+    q, k, v, _ = _case(b, c, nq, nkv, hd, seed=7, holes=False)
+    # each row's cache is valid up to lengths[i]; the current column is
+    # written AT lengths[i]
+    lengths = np.array([5, c // 2, c - 1])
+    prev_mask = np.zeros((b, c), bool)
+    for i in range(b):
+        prev_mask[i, : lengths[i]] = True
+    live = np.array([True, True, False])
+    k_new = jnp.asarray(rng.normal(size=(b, nkv, hd)), jnp.float32)
+    v_new = jnp.asarray(rng.normal(size=(b, nkv, hd)), jnp.float32)
+
+    # reference: write the column into the cache, extend the mask by `live`
+    k_ref = np.asarray(k).copy()
+    v_ref = np.asarray(v).copy()
+    post_mask = prev_mask.copy()
+    for i in range(b):
+        k_ref[i, lengths[i]] = np.asarray(k_new)[i]
+        v_ref[i, lengths[i]] = np.asarray(v_new)[i]
+        post_mask[i, lengths[i]] = live[i]
+    ref = mha(q[:, None], jnp.asarray(k_ref), jnp.asarray(v_ref),
+              jnp.asarray(post_mask)[:, None, None, :])[:, 0]
+
+    kt, vk = _kernel_layout(k, v)
+    got = decode_attention_cached(
+        q, kt[None], vk[None], 0, jnp.asarray(prev_mask),
+        k_new=k_new, v_new=v_new, new_valid=jnp.asarray(live),
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_sideband_rejects_int8():
+    """The sideband column is bf16-KV only (serving's kernel path is
+    bf16-gated); combining it with int8 scales must assert. An in-kernel
+    DMA cache write (input_output-aliased buffers) was also tried and is
+    NOT lowerable on v5e — Mosaic requires lane-dim slices to be
+    128-aligned and the K column write at a dynamic cache offset is a
+    width-1 lane slice — so the serving loop writes the column with a
+    per-row dynamic_update_slice chain instead (serve_loop._decode_layer)."""
+    from kalle_tpu.ops.pallas.decode_attention import decode_attention_cached
+
+    b, c, nq, nkv, hd = 2, 128, 8, 2, 16
+    q, k, v, mask = _case(b, c, nq, nkv, hd, seed=3, holes=False)
+    kt, vk = _kernel_layout(k, v)
+    scale = jnp.ones((1, b, nkv, 1, c), jnp.float32)
+    kn = jnp.zeros((b, nkv, hd), jnp.float32)
+    with pytest.raises(AssertionError):
+        decode_attention_cached(
+            q, kt[None].astype(jnp.int8), vk[None].astype(jnp.int8), 0,
+            mask, k_scale=scale, v_scale=scale,
+            k_new=kn, v_new=kn, new_valid=jnp.ones((b,), bool),
+            interpret=True)

@@ -53,6 +53,58 @@ def test_pp_forward_matches_plain(dp, pp):
                                    atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("dp,pp,tp", [(2, 2, 2), (1, 4, 2)])
+def test_pp_tp_forward_matches_plain(dp, pp, tp):
+    """pp x tp composition: layer weights Megatron-sharded inside each pp
+    stage, manual psums in the shard_map body (llama._layer tp_axis)."""
+    cfg = _cfg()
+    params = llasa.init_params(cfg, jax.random.key(0))
+    batch = _batch(cfg)
+    rng = jax.random.key(1)
+
+    ref = llasa.forward(params, cfg, batch, rng=rng)
+    ref_loss = float(ref["audio_loss"])
+
+    mesh = make_mesh(dp=dp, pp=pp, tp=tp, devices=jax.devices()[: dp * pp * tp])
+    with jax.sharding.set_mesh(mesh):
+        sp = shard_params(params, mesh, pp=True)
+        # at rest: wq (L, h, nq*hd) sharded over BOTH pp (L) and tp (out)
+        wq = sp["llama"]["layers"]["wq"]
+        L, h, out = wq.shape
+        shard_shapes = {s.data.shape for s in wq.addressable_shards}
+        assert shard_shapes == {(L // pp, h, out // tp)}, shard_shapes
+        sb = shard_batch(batch, mesh)
+        out_t = jax.jit(lambda p, b: llasa.forward(p, cfg, b, rng=rng))(sp, sb)
+        np.testing.assert_allclose(float(out_t["audio_loss"]), ref_loss,
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_t["pre_mean"]),
+                                   np.asarray(ref["pre_mean"]),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_pp_tp_grads_match_plain():
+    cfg = _cfg()
+    tcfg = TrainConfig(lr=1e-3, warmup_steps=2, total_steps=10)
+    params = llasa.init_params(cfg, jax.random.key(0))
+    batch = _batch(cfg)
+    rng = jax.random.key(1)
+
+    grad_fn = jax.grad(lambda p, b: loss_fn(p, cfg, tcfg, b, rng)[0])
+    ref_grads = grad_fn(params, batch)
+
+    mesh = make_mesh(dp=2, pp=2, tp=2, devices=jax.devices()[:8])
+    with jax.sharding.set_mesh(mesh):
+        sp = shard_params(params, mesh, pp=True)
+        sb = shard_batch(batch, mesh)
+        tp_grads = jax.jit(grad_fn)(sp, sb)
+
+    flat_r, _ = jax.tree.flatten(ref_grads)
+    flat_p, _ = jax.tree.flatten(tp_grads)
+    for r, p in zip(flat_r, flat_p):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(r),
+                                   atol=2e-4, rtol=1e-3)
+
+
 def test_pp_grads_match_plain():
     cfg = _cfg()
     tcfg = TrainConfig(lr=1e-3, warmup_steps=2, total_steps=10)

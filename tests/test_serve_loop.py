@@ -106,6 +106,30 @@ def test_int8_kv_continuous_close_to_bf16():
         assert float(np.mean((a - b) ** 2)) < 0.02 * sig
 
 
+def test_kernel_branch_matches_xla_path():
+    """The fused decode-attention serving branch (sideband current-frame
+    column + per-row dynamic_update_slice cache writes) must reproduce the
+    XLA scatter path exactly — forced on CPU via
+    decode_attention_interpret (the branch is otherwise TPU-gated)."""
+    cfg, params, prompts = _setup()
+    kcfg = dataclasses.replace(
+        cfg, llama=dataclasses.replace(cfg.llama,
+                                       decode_attention_min_batch=1,
+                                       decode_attention_interpret=True))
+
+    ref = {c.index: c for c in ContinuousBatcher(
+        params, cfg, batch_size=2, max_frames=MAXF, prompt_buckets=(8, 16),
+        greedy=True).run(prompts)}
+    got = {c.index: c for c in ContinuousBatcher(
+        params, kcfg, batch_size=2, max_frames=MAXF, prompt_buckets=(8, 16),
+        greedy=True).run(prompts)}
+    assert sorted(got) == sorted(ref)
+    for i in ref:
+        assert got[i].n_frames == ref[i].n_frames
+        np.testing.assert_allclose(got[i].means, ref[i].means,
+                                   rtol=2e-3, atol=2e-4)
+
+
 def test_serve_chunks_match_run():
     """serve(chunk_frames=2) must stream each request's frames incrementally
     and, concatenated, reproduce run()'s completions exactly; the first
