@@ -374,6 +374,24 @@ class Chunk(NamedTuple):
     final: bool                # True on the request's last chunk
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def _frame_windows(means: jnp.ndarray, samples: jnp.ndarray,
+                   starts: jnp.ndarray, n: int):
+    """Per-row fixed-size windows of the frame buffers: row r yields
+    frames [starts[r], starts[r]+n) (dynamic_slice clamps at the end).
+    Chunk syncs fetch ONLY these windows — O(B x chunk_frames x d) per sync
+    instead of the full (B, max_frames, d) buffers, which at B=32 x 1024
+    frames would ship ~8 MB over the remote-TPU tunnel every sync."""
+
+    def take(buf):
+        d = buf.shape[-1]
+        return jax.vmap(
+            lambda row, s: jax.lax.dynamic_slice(row, (s, 0), (n, d))
+        )(buf, starts)
+
+    return take(means), take(samples)
+
+
 class ContinuousBatcher:
     """Admit prompts into free rows of a persistent decode batch.
 
@@ -440,6 +458,52 @@ class ContinuousBatcher:
             self.state = self.state._replace(
                 active=self.state.active.at[r].set(False))
             self.row_req[r] = None
+        return out
+
+    def poll_chunks(self, emitted: Dict[int, int],
+                    window: int) -> List[Chunk]:
+        """Chunk events for every live row with frames beyond `emitted`
+        (req idx -> frames already streamed; updated in place). The device
+        fetch is a fixed-size per-row window of `window` frames
+        (_frame_windows), NOT the full (B, max_frames, d) buffers — callers
+        that sync at least every `window` decode steps pay O(new frames)
+        per sync. A row that somehow outran the window (e.g. a larger
+        sync interval) just widens the fetch for that call."""
+        n_frames = np.asarray(self.state.n_frames)
+        done = np.asarray(self.state.done)
+        active = np.asarray(self.state.active)
+        rows = []  # (row, req idx, lo, avail)
+        for r in range(self.B):
+            idx = self.row_req[r]
+            if idx is None or not active[r]:
+                continue
+            # stream up to n-1 emitted frames (the final frame is discarded,
+            # model_sigmaVAE.py:147) once known-done; live rows stream
+            # everything minus 1 (the last frame could be the discard)
+            avail = max(int(n_frames[r]) - 1, 0)
+            lo = emitted.get(idx, 0)
+            if avail > lo:
+                rows.append((r, idx, lo, avail))
+        if not rows:
+            return []
+        need = max(avail - lo for _, _, lo, avail in rows)
+        # round up in `window` multiples: few jit variants, bounded fetch
+        n = min(-(-need // window) * window, self.max_frames)
+        starts = np.zeros((self.B,), np.int32)
+        for r, _, lo, _ in rows:
+            starts[r] = min(lo, self.max_frames - n)  # dynamic_slice clamp
+        w_means, w_samples = _frame_windows(
+            self.state.means, self.state.samples, jnp.asarray(starts), n)
+        w_means = np.asarray(w_means, np.float32)
+        w_samples = np.asarray(w_samples, np.float32)
+        out = []
+        for r, idx, lo, avail in rows:
+            es = int(starts[r])
+            out.append(Chunk(
+                index=idx, means=w_means[r, lo - es:avail - es],
+                samples=w_samples[r, lo - es:avail - es],
+                start_frame=lo, final=bool(done[r])))
+            emitted[idx] = avail
         return out
 
     def run_iter(self, prompts: Iterable[np.ndarray]):
@@ -514,31 +578,9 @@ class ContinuousBatcher:
             self.step_count += int(n)
 
             if chunk_frames > 0:
-                # one bulk fetch per sync, then slice per live row
-                n_frames = np.asarray(self.state.n_frames)
-                done = np.asarray(self.state.done)
-                active = np.asarray(self.state.active)
-                means = None
-                for r in range(self.B):
-                    idx = self.row_req[r]
-                    if idx is None or not active[r]:
-                        continue
-                    # stream up to n-1 emitted frames (the final frame is
-                    # discarded, model_sigmaVAE.py:147) once known-done;
-                    # live rows stream everything they have so far minus 1
-                    # (the last frame could turn out to be the discard)
-                    avail = max(int(n_frames[r]) - 1, 0)
-                    lo = emitted[idx]
-                    if avail > lo:
-                        if means is None:
-                            means = np.asarray(self.state.means, np.float32)
-                            samples = np.asarray(self.state.samples,
-                                                 np.float32)
-                        yield ("chunk", Chunk(
-                            index=idx, means=means[r, lo:avail],
-                            samples=samples[r, lo:avail],
-                            start_frame=lo, final=bool(done[r])))
-                        emitted[idx] = avail
+                # windowed per-row fetch: O(new frames) per sync
+                for ch in self.poll_chunks(emitted, window=chunk_frames):
+                    yield ("chunk", ch)
 
             for c in self._harvest():
                 n_done += 1

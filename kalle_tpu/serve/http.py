@@ -1,28 +1,33 @@
 """Dependency-free streaming TTS HTTP server.
 
 The reference's web layer is a gradio app (ref tools/web_nos.py,
-backup/web.py) — unusable in images without gradio. This module serves the
-same synthesize flow over the stdlib `http.server`, and STREAMS the wav:
-the response opens with the unbounded-size chunk header
-(serve/web.wav_chunk_header, ref backup/web.py:145) and PCM chunks follow
-as the LM decodes — a browser's <audio> element starts playback at the
-first chunk instead of waiting for the full utterance.
+backup/web.py) — unusable in images without gradio, and single-request
+(one GPU decode at a time). This module serves the same synthesize flow
+over the stdlib `http.server` and goes further on the serving design:
+
+  * ALL requests share ONE persistent ContinuousBatcher on a background
+    decode thread (serve/service.BatcherService) — N concurrent /tts
+    clients ride the same B-row decode batch with mid-decode admission,
+    so the b>=8 fused decode-attention gate engages under load instead of
+    serializing on a per-request lock.
+  * responses STREAM the wav: the unbounded-size chunk header
+    (serve/web.wav_chunk_header, ref backup/web.py:145) goes out first and
+    PCM chunks follow as the LM decodes — a browser's <audio> element
+    starts playback at the first chunk.
 
 Endpoints:
   GET /            — minimal HTML demo page (form + <audio>)
   GET /tts?text=…  — chunked audio/wav stream
   GET /healthz     — liveness probe
 
-Synthesis runs through ContinuousBatcher.serve(chunk_frames=…) at batch 1
-per request (infer/serve_loop.py); requests serialize on a lock (one JAX
-process, one chip). Codec chunks re-decode with left context so conv
-receptive fields span chunk boundaries (same scheme as
-tools/serve_batch.py --stream).
+Codec chunks re-decode with left context so conv receptive fields span
+chunk boundaries (same scheme as tools/serve_batch.py --stream). A stalled
+client only stalls its own handler thread (60 s socket timeout) — decode
+for the other rows continues.
 """
 from __future__ import annotations
 
 import json
-import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, Iterator
@@ -44,40 +49,49 @@ _PAGE = """<!doctype html>
 
 def make_stream_fn(params, cfg, tokenizer, codec, chunk_frames: int = 25,
                    max_frames: int = 200, stream_ctx: int = 8,
-                   greedy: bool = False) -> Callable[[str], Iterator[bytes]]:
+                   greedy: bool = False, batch_size: int = 8,
+                   service=None) -> Callable[[str], Iterator[bytes]]:
     """text -> iterator of int16 PCM chunks (LM decode + codec decode both
-    incremental). Each call runs one batch-1 ContinuousBatcher.serve pass."""
+    incremental). Every call shares ONE BatcherService decode batch —
+    concurrent calls are admitted into free rows of the same batcher, not
+    serialized. The service is exposed as `stream.service` (callers close()
+    it on shutdown; tests inspect its batcher)."""
     import jax.numpy as jnp
 
     from ..data.tokens import build_prompt_ids
-    from ..infer.serve_loop import ContinuousBatcher
+    from .service import BatcherService
 
+    svc = service or BatcherService(
+        params, cfg, batch_size=batch_size, max_frames=max_frames,
+        chunk_frames=chunk_frames, greedy=greedy)
     spf = codec.samples_per_frame
     sigma = cfg.head_variant == "sigma"
-    lock = threading.Lock()
-    seed = [0]
 
     def stream(text: str) -> Iterator[bytes]:
         ids = np.asarray(build_prompt_ids(tokenizer, normalize_text(text)),
                          np.int32)
-        with lock:  # one decode at a time — single chip
-            seed[0] += 1
-            cb = ContinuousBatcher(params, cfg, batch_size=1,
-                                   max_frames=max_frames,
-                                   seed=seed[0], greedy=greedy)
-            buf = np.zeros((0, cfg.latent_dim), np.float32)
-            for ev, payload in cb.serve([ids], chunk_frames=chunk_frames):
-                if ev != "chunk":
-                    continue
-                lat = payload.samples if sigma else payload.means
-                buf = np.concatenate([buf, lat])
-                lo = max(0, payload.start_frame - stream_ctx)
-                audio = codec.decode_latents(jnp.asarray(buf[None, lo:]))
-                new = np.asarray(
-                    audio[0, 0, (payload.start_frame - lo) * spf:],
-                    np.float32)
-                yield (np.clip(new, -1, 1) * 32767).astype("<i2").tobytes()
+        rid, q = svc.submit(ids)
+        del rid
+        buf = np.zeros((0, cfg.latent_dim), np.float32)
+        while True:
+            ev = q.get()
+            if ev is None:
+                break
+            kind, payload = ev
+            if kind == "error":
+                raise payload
+            if kind != "chunk":
+                continue  # "done" — frames already streamed via chunks
+            lat = payload.samples if sigma else payload.means
+            buf = np.concatenate([buf, lat])
+            lo = max(0, payload.start_frame - stream_ctx)
+            audio = codec.decode_latents(jnp.asarray(buf[None, lo:]))
+            new = np.asarray(
+                audio[0, 0, (payload.start_frame - lo) * spf:],
+                np.float32)
+            yield (np.clip(new, -1, 1) * 32767).astype("<i2").tobytes()
 
+    stream.service = svc
     return stream
 
 
@@ -85,6 +99,10 @@ class _Handler(BaseHTTPRequestHandler):
     # class attrs injected by serve_http
     stream_fn: Callable[[str], Iterator[bytes]] = None
     sample_rate: int = 24000
+    # socket timeout: a dead client's blocked wfile.write raises instead of
+    # pinning its handler thread forever (decode continues regardless — the
+    # shared batcher runs on its own thread)
+    timeout = 60
 
     def log_message(self, fmt, *args):  # quiet by default
         pass
@@ -119,8 +137,8 @@ class _Handler(BaseHTTPRequestHandler):
             for pcm in self.stream_fn(text):
                 self.wfile.write(pcm)
                 self.wfile.flush()
-        except (BrokenPipeError, ConnectionResetError):
-            pass  # client hung up mid-stream — normal for a demo page
+        except (BrokenPipeError, ConnectionResetError, TimeoutError):
+            pass  # client hung up / stalled mid-stream — its loss alone
 
 
 def serve_http(stream_fn: Callable[[str], Iterator[bytes]],

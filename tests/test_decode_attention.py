@@ -130,6 +130,38 @@ def test_cached_int8_scales():
                                atol=1e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize("c", [384, 512])
+def test_cached_int8_scales_multi_block(c):
+    """int8 quant + MULTI-BLOCK cache (c > cb): the per-column K scales and
+    the p-folded V scales must compose with the online-softmax carry and the
+    128-lane-narrowed stats scratch across grid steps (the combination
+    tools/attn_ab.py --int8 exercises at cache 256+)."""
+    from kalle_tpu.ops.pallas.decode_attention import decode_attention_cached
+
+    q, k, v, mask = _case(2, c, 8, 2, 16, seed=8)
+    kt, vk = _kernel_layout(k, v)
+
+    def quant(x, axis):
+        absmax = np.abs(np.asarray(x)).max(axis=axis, keepdims=True)
+        scale = np.maximum(absmax, 1e-8) / 127.0
+        qx = np.clip(np.round(np.asarray(x) / scale), -127, 127)
+        return jnp.asarray(qx, jnp.int8), jnp.asarray(scale, jnp.float32)
+
+    kq, ks = quant(kt, axis=2)
+    vq, vs = quant(vk, axis=3)
+    vs = jnp.swapaxes(vs, -1, -2)
+
+    deq_k = kq.astype(jnp.float32) * ks
+    deq_v = vq.astype(jnp.float32) * jnp.swapaxes(vs, -1, -2)
+    ref = decode_attention_cached(q, deq_k[None], deq_v[None], 0, mask,
+                                  interpret=True)
+    got = decode_attention_cached(q, kq[None], vq[None], 0, mask,
+                                  k_scale=ks[None], v_scale=vs[None],
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-3)
+
+
 @pytest.mark.parametrize("c", [128, 384])
 def test_sideband_current_column(c):
     """k_new/v_new/new_valid must reproduce attention over the cache WITH

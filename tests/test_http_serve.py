@@ -54,10 +54,7 @@ def test_http_surface_with_fake_stream():
         srv.shutdown()
 
 
-def test_make_stream_fn_end_to_end():
-    """Real tiny model through ContinuousBatcher.serve: the streamed PCM
-    must cover every emitted frame exactly once (chunk boundaries decoded
-    with left context, new samples only)."""
+def _tiny_stream(maxf=6, batch_size=2):
     from kalle_tpu.data.tokens import build_tokenizer
     from kalle_tpu.infer.pipeline import Codec
     from kalle_tpu.models.codecs.sigmavae import SigmaVAEConfig
@@ -70,17 +67,65 @@ def test_make_stream_fn_end_to_end():
     cfg = dataclasses.replace(cfg, end_kl_threshold=-1.0)
     tok = build_tokenizer(None)
     params = llasa.init_params(cfg, jax.random.key(0))
-
-    maxf = 6
     stream = make_stream_fn(params, cfg, tok, codec, chunk_frames=2,
-                            max_frames=maxf, greedy=True)
-    chunks = list(stream("hello world"))
-    assert len(chunks) >= 2  # incremental, not one blob
-    pcm = np.frombuffer(b"".join(chunks), "<i2")
-    # maxf-1 emitted frames (final frame discarded), spf samples each
-    assert len(pcm) == (maxf - 1) * codec.samples_per_frame
-    assert np.isfinite(pcm.astype(np.float32)).all()
+                            max_frames=maxf, greedy=True,
+                            batch_size=batch_size)
+    return stream, codec
 
-    # second request must work too (fresh batcher per request)
-    pcm2 = np.frombuffer(b"".join(stream("another")), "<i2")
-    assert len(pcm2) == (maxf - 1) * codec.samples_per_frame
+
+def test_make_stream_fn_end_to_end():
+    """Real tiny model through the shared BatcherService: the streamed PCM
+    must cover every emitted frame exactly once (chunk boundaries decoded
+    with left context, new samples only)."""
+    maxf = 6
+    stream, codec = _tiny_stream(maxf)
+    try:
+        chunks = list(stream("hello world"))
+        assert len(chunks) >= 2  # incremental, not one blob
+        pcm = np.frombuffer(b"".join(chunks), "<i2")
+        # maxf-1 emitted frames (final frame discarded), spf samples each
+        assert len(pcm) == (maxf - 1) * codec.samples_per_frame
+        assert np.isfinite(pcm.astype(np.float32)).all()
+
+        # second request reuses the SAME service/batcher
+        pcm2 = np.frombuffer(b"".join(stream("another")), "<i2")
+        assert len(pcm2) == (maxf - 1) * codec.samples_per_frame
+    finally:
+        stream.service.close()
+
+
+def test_concurrent_http_clients_share_batcher():
+    """Two simultaneous /tts requests must BOTH stream complete audio and
+    must share the service's single batcher (total decode steps ~ one
+    generation, not two in sequence — the round-4 composition fix)."""
+    maxf = 6
+    stream, codec = _tiny_stream(maxf, batch_size=2)
+    srv, base = _start(stream)
+    try:
+        results, errs = {}, []
+
+        def client(i):
+            try:
+                body = urllib.request.urlopen(
+                    base + f"/tts?text=req{i}", timeout=300).read()
+                results[i] = body
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        ts = [threading.Thread(target=client, args=(i,)) for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=300)
+        assert not errs, errs
+        hdr = wav_chunk_header(24000)
+        for i in range(2):
+            assert results[i][: len(hdr)] == hdr
+            pcm = np.frombuffer(results[i][len(hdr):], "<i2")
+            assert len(pcm) == (maxf - 1) * codec.samples_per_frame
+        # shared batch: serial would be ~2*maxf steps
+        assert stream.service.cb.step_count <= maxf + 4, \
+            stream.service.cb.step_count
+    finally:
+        srv.shutdown()
+        stream.service.close()

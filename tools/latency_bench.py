@@ -114,6 +114,8 @@ def main():
 
             def pct(d, q):
                 v = sorted(d.values())
+                if not v:  # e.g. --chunk-frames 0 yields no chunk events
+                    return None
                 return round(v[min(int(len(v) * q), len(v) - 1)], 3)
 
             print(json.dumps({

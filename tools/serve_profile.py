@@ -5,10 +5,13 @@ tools/decode_microbench.py times llama.forward_with_cache (the aligned
 generate path: all rows share one write position -> dynamic_update_slice).
 The serving loop's decode_step differs: each row scatters its KV at its own
 `lengths[row]` (infer/serve_loop._decode_layer). The fused decode-attention
-kernel's win/loss can differ between the two (round-3 finding: the kernel
-wins in-step on the aligned path from b>=8 but loses in serving below 32),
-so gate decisions for serving must come from THIS benchmark, and
-`--profile` captures a jax.profiler trace to attribute the gap.
+kernel's win/loss can differ between the two: PRE-sideband, the kernel lost
+in serving below b=32 (the `--profile` trace from this tool attributed that
+to two 67 MB XLA layout-conversion copies per layer, not the kernel); the
+sideband-column redesign removed the copies and the kernel now wins from
+b>=8 on bf16 KV (the current gate default). Gate decisions for serving must
+come from THIS benchmark, and `--profile` captures a jax.profiler trace to
+attribute any gap.
 
 Usage:
   python tools/serve_profile.py --batch 8 --steps 128 [--kernel-min-batch N]
