@@ -178,6 +178,31 @@ def speaker_similarity(
     return mean
 
 
+def make_spectral_embedder(sample_rate: int = 16000):
+    """Weight-free speaker fingerprint: per-band log-mel mean + std over
+    time (long-term average spectrum statistics). A RANDOM-init ECAPA
+    saturates (all sims ~0.99) so it cannot discriminate speakers; spectral
+    statistics separate the per-speaker formant/f0 structure without any
+    external checkpoint. Used by the voice-clone acceptance gate
+    (tools/run_experiment.prompt_clone_gate); inject a real WavLM/ECAPA
+    embedder (ref tools/sim_test.py:23-26) when weights are available."""
+    import jax.numpy as jnp
+
+    from ..ops.mel import mel_spectrogram
+    from ..utils.audio import read_wav, resample_linear
+
+    def embed(wav_path: str) -> np.ndarray:
+        audio, sr = read_wav(wav_path)
+        audio = resample_linear(audio, sr, sample_rate)
+        mono = audio.mean(axis=0, keepdims=True)
+        mel = np.asarray(mel_spectrogram(jnp.asarray(mono),
+                                         sample_rate=sample_rate))[0]
+        logm = np.log(np.maximum(mel, 1e-5))  # (n_mels, T)
+        return np.concatenate([logm.mean(axis=1), logm.std(axis=1)])
+
+    return embed
+
+
 def make_ecapa_embedder(params, ecapa_cfg, sample_rate: int = 16000):
     """Speaker embedder from this framework's ECAPA + mel frontend —
     a self-contained substitute for the external WavLM checkpoint."""

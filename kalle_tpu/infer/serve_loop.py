@@ -374,6 +374,49 @@ class Chunk(NamedTuple):
     final: bool                # True on the request's last chunk
 
 
+def state_pspecs(state: ServeState) -> ServeState:
+    """PartitionSpecs for the serving state on a dp x tp mesh: batch rows
+    over dp, KV heads over tp — the Megatron decode layout (wq/wk/wv
+    column-parallel so each tp shard produces its own heads' KV and attends
+    locally; wo row-parallel psums the attention output back — the same
+    contract as the tp-sharded training params,
+    parallel/mesh.param_pspecs)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DP_AXIS as dp, TP_AXIS as tp
+
+    kv = P(None, dp, tp, None, None)
+    return ServeState(
+        k=kv, v=kv,
+        k_scale=kv if state.k_scale is not None else None,
+        v_scale=kv if state.v_scale is not None else None,
+        valid=P(dp, None), length=P(dp), pos=P(dp),
+        last_hidden=P(dp, None, None),
+        means=P(dp, None, None), logs=P(dp, None, None),
+        samples=P(dp, None, None),
+        n_frames=P(dp), done=P(dp), active=P(dp),
+    )
+
+
+def shard_state(state: ServeState, mesh) -> ServeState:
+    """Apply state_pspecs over `mesh` (specs pruned to the mesh's axes, so
+    tp-only / dp-only meshes shard what they have). Beyond reference
+    parity: the reference serves single-GPU (ref
+    infer_vibevoice.py:434-448)."""
+    from jax.sharding import NamedSharding
+
+    from ..parallel.mesh import prune_spec
+
+    names = set(mesh.axis_names)
+
+    def put(x, s):
+        if x is None:
+            return None
+        return jax.device_put(x, NamedSharding(mesh, prune_spec(s, names)))
+
+    return ServeState(*(put(x, s) for x, s in zip(state, state_pspecs(state))))
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def _frame_windows(means: jnp.ndarray, samples: jnp.ndarray,
                    starts: jnp.ndarray, n: int):
@@ -401,7 +444,7 @@ class ContinuousBatcher:
     def __init__(self, params: dict, cfg: LlasaConfig, batch_size: int = 8,
                  max_frames: int = 200,
                  prompt_buckets: Sequence[int] = (16, 32, 64, 128),
-                 seed: int = 0, greedy: bool = False):
+                 seed: int = 0, greedy: bool = False, mesh=None):
         self.greedy = greedy
         self.params = params
         self.cfg = cfg
@@ -411,6 +454,12 @@ class ContinuousBatcher:
         # 128-aligned so the Pallas decode-attention kernel can block it
         cache_len = -(-(self.buckets[-1] + max_frames + 1) // 128) * 128
         self.state = init_state(cfg, batch_size, cache_len, max_frames)
+        if mesh is not None:
+            # multi-chip serving: rows over dp, KV heads over tp; `params`
+            # should be tp-sharded too (parallel/mesh.shard_params). The
+            # jitted prefill/insert/decode_step then compile SPMD from the
+            # input shardings — no set_mesh needed (no in-graph constraints)
+            self.state = shard_state(self.state, mesh)
         self.rng = jax.random.key(seed)
         self.row_req: List[Optional[int]] = [None] * batch_size
         self.row_admit_step: List[int] = [0] * batch_size

@@ -7,9 +7,19 @@ over `pp` stages (each device owns L/pp consecutive layers) and microbatches
 stream through the stages with `jax.lax.ppermute` rotations inside a
 `shard_map`. Differentiating through the scan-of-ppermute yields the reverse
 pipeline automatically (the transpose of a ppermute is the reverse
-ppermute), so the SAME code path trains — no hand-written 1F1B schedule; the
-memory profile is GPipe (all-microbatch activations live through backward),
-the right simplicity/memory trade for a 1B-param model.
+ppermute), so the SAME code path trains — no hand-written 1F1B schedule.
+
+Memory profile and the 1F1B decision: plain GPipe keeps all-microbatch
+activations live through backward; with `remat_policy` set (LlamaConfig
+.remat), the per-stage layer body is jax.checkpoint-wrapped (llama.forward
+pp path) and each microbatch's intra-layer activations are recomputed in
+backward — GPipe-with-rematerialization, the original GPipe paper's design
+point, which removes the same O(M) activation blow-up 1F1B's schedule
+targets (1F1B additionally bounds in-flight microbatch STATES to S instead
+of M; those states are (mb, t, h) layer inputs, small next to intra-layer
+activations). A hand-written 1F1B needs a custom-VJP scheduler that
+interleaves forward and backward ticks — complexity not justified at the
+1B scale this framework targets; revisit if model size grows 10x.
 
 Schedule: M microbatches, S stages, M + S - 1 ticks. At tick t, stage 0
 ingests microbatch t (while t < M), every stage applies its local layers to

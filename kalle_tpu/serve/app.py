@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--chunk-frames", type=int, default=25,
                     help="--http mode: decode sync interval (frames) "
                          "between streamed chunks")
+    ap.add_argument("--serve-batch", type=int, default=8,
+                    help="--http mode: rows in the SHARED decode batch all "
+                         "concurrent requests ride (serve/service.py)")
     ap.add_argument("--platform", default="")
     args = ap.parse_args()
 
@@ -60,7 +63,8 @@ def main():
 
         stream = make_stream_fn(params, cfg, tokenizer, codec,
                                 chunk_frames=args.chunk_frames,
-                                max_frames=args.max_frames)
+                                max_frames=args.max_frames,
+                                batch_size=args.serve_batch)
         srv = serve_http(stream, sample_rate=codec.sample_rate,
                          port=args.port)
         print(f"streaming TTS server on :{args.port} (GET /tts?text=...)")

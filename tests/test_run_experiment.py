@@ -35,3 +35,16 @@ def test_full_experiment_chain(tmp_path):
         assert f"{utt}---gen.wav" in names
     # speaker-sim artifacts (ref tools/sim_test.py:83-99 naming)
     assert "0000000_sim.txt" in names and "0000000_sim,json" in names
+    # round-4 gates: voice-clone acceptance (prompt-conditioned synthesis
+    # embeds closer to its own prompt than others') + end-detection
+    # accuracy on the stableaudio head (ref model.py:138-144)
+    q = result["quality"]
+    assert result["gates"]["prompt_clone"]
+    assert q["prompt_clone_sim"] > q["prompt_clone_neg_sim"]
+    assert result["gates"]["end_detection"]
+    assert q["end_detection_acc"] >= 0.75
+    assert q["end_detection_mae_frames"] <= 2.0
+    pg = sorted(os.listdir(run_dir / "prompt_gate"))
+    for utt in ("utt000", "utt001"):
+        assert f"{utt}---prompt.wav" in pg
+        assert f"{utt}---promptgen.wav" in pg

@@ -1,0 +1,64 @@
+"""Tensor/data-parallel continuous-batching serving on the virtual CPU
+mesh: the dp x tp sharded batcher (rows over dp, KV heads over tp) must
+reproduce the single-device batcher exactly — the multi-chip SERVING
+contract. Beyond reference parity: the reference serves single-GPU
+(ref infer_vibevoice.py:434-448)."""
+import dataclasses
+
+import numpy as np
+import jax
+
+from kalle_tpu.core.config import LlamaConfig, LlasaConfig
+from kalle_tpu.infer.serve_loop import ContinuousBatcher
+from kalle_tpu.models.lm import llasa
+from kalle_tpu.parallel.mesh import make_mesh, shard_params
+
+MAXF = 6
+
+
+def _setup():
+    cfg = LlasaConfig(llama=LlamaConfig.tiny(vocab_size=300), latent_dim=8,
+                      audio_proj_dim=64, head_variant="stableaudio")
+    cfg = dataclasses.replace(cfg, end_kl_threshold=-1.0)
+    params = llasa.init_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(1, 300, (n,)).astype(np.int32)
+               for n in (5, 11, 7)]
+    return cfg, params, prompts
+
+
+def _run(params, cfg, prompts, mesh=None):
+    cb = ContinuousBatcher(params, cfg, batch_size=2, max_frames=MAXF,
+                           prompt_buckets=(8, 16), greedy=True, mesh=mesh)
+    return {c.index: c for c in cb.run(prompts)}
+
+
+def test_dp_tp_sharded_batcher_matches_single_device():
+    cfg, params, prompts = _setup()
+    ref = _run(params, cfg, prompts)
+
+    mesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
+    sharded = shard_params(params, mesh)
+    got = _run(sharded, cfg, prompts, mesh=mesh)
+
+    assert sorted(got) == sorted(ref)
+    for i in ref:
+        assert got[i].n_frames == ref[i].n_frames
+        np.testing.assert_allclose(got[i].means, ref[i].means,
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_tp_sharded_batcher_int8_kv():
+    """int8 KV-cache scales shard alongside the cache over dp x tp."""
+    cfg, params, prompts = _setup()
+    cfg8 = dataclasses.replace(
+        cfg, llama=dataclasses.replace(cfg.llama, kv_cache_dtype="int8"))
+    ref = _run(params, cfg8, prompts[:2])
+
+    mesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
+    sharded = shard_params(params, mesh)
+    got = _run(sharded, cfg8, prompts[:2], mesh=mesh)
+    for i in ref:
+        assert got[i].n_frames == ref[i].n_frames
+        np.testing.assert_allclose(got[i].means, ref[i].means,
+                                   rtol=2e-3, atol=2e-4)

@@ -121,6 +121,158 @@ def latent_gate(params, cfg, tokenizer, rows, max_frames: int):
     return float(np.mean(errs))
 
 
+def prompt_clone_gate(params, cfg, tokenizer, codec, rows, out_dir,
+                      embed_fn, max_frames: int):
+    """Voice-cloning acceptance (ref tools/sim_test.py:83-99 intent):
+    condition generation on each row's audio prompt (the first half of its
+    ground-truth latents) and require the generation to land closer to ITS
+    OWN prompt than to other rows' prompts — a self-calibrating
+    discrimination gate that needs no external WavLM weights.
+
+    The GATE compares latent-space fingerprints (per-dim mean+std over
+    time) in the shared frozen-codec latent space: a random-init codec
+    erases identity in audio space (every decode has the same broadband
+    character), while the latent space preserves it. Audio-space sims via
+    `embed_fn` over the decoded wavs are computed and returned alongside —
+    the primary signal once a trained codec and/or a real WavLM/ECAPA
+    embedder is injected. Returns
+    (lat_pos, lat_neg, audio_pos, audio_neg)."""
+    import jax
+    import jax.numpy as jnp
+
+    from kalle_tpu.data.tokens import build_prompt_ids
+    from kalle_tpu.infer.generate import generate
+    from kalle_tpu.utils.audio import write_wav
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def fp(lat):  # latent fingerprint: per-dim long-term stats
+        return np.concatenate([lat.mean(axis=0), lat.std(axis=0)])
+
+    prompt_paths, gen_paths, fp_p, fp_g = [], [], [], []
+    for row in rows:
+        gt = np.load(row["vae"])
+        if gt.ndim == 3:
+            gt = gt[0]
+        half = max(len(gt) // 2, 1)
+        ids = np.asarray(build_prompt_ids(tokenizer, row["caption"]),
+                         np.int32)
+        res = generate(params, cfg, jnp.asarray(ids[None]),
+                       jnp.ones((1, len(ids)), jnp.int32),
+                       jax.random.key(13), max_frames=max_frames,
+                       end_kl_threshold=-1.0, greedy=True,
+                       prompt_latents=jnp.asarray(gt[None, :half]))
+        n = max(int(res.n_frames[0]) - 1, 1)
+        lat = np.asarray(res.means[0, :n], np.float32)
+        fp_p.append(fp(gt[:half].astype(np.float32)))
+        fp_g.append(fp(lat))
+        gen = np.asarray(codec.decode_latents(jnp.asarray(lat[None])))[0]
+        prm = np.asarray(
+            codec.decode_latents(jnp.asarray(gt[None, :half])))[0]
+        gp = os.path.join(out_dir, row["id"] + "---promptgen.wav")
+        pp = os.path.join(out_dir, row["id"] + "---prompt.wav")
+        write_wav(gp, gen, codec.sample_rate)
+        write_wav(pp, prm, codec.sample_rate)
+        prompt_paths.append(pp)
+        gen_paths.append(gp)
+
+    emb_p = [embed_fn(p) for p in prompt_paths]
+    emb_g = [embed_fn(p) for p in gen_paths]
+
+    def cos(a, b):
+        return float(np.dot(a, b)
+                     / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+
+    def pos_neg(ps, gs):
+        # center each pool: raw fingerprints share a large common component
+        # (encoder bias / broadband character) that saturates cosine at
+        # ~0.96 for EVERY pair; subtracting the pool mean leaves the
+        # row-specific structure the gate is about (the i-vector
+        # mean-subtraction trick)
+        ps = [p - np.mean(ps, axis=0) for p in ps]
+        gs = [g - np.mean(gs, axis=0) for g in gs]
+        n = len(rows)
+        pos = [cos(ps[i], gs[i]) for i in range(n)]
+        neg = [cos(ps[i], gs[j])
+               for i in range(n) for j in range(n) if j != i]
+        return float(np.mean(pos)), (float(np.mean(neg)) if neg else 0.0)
+
+    lat_pos, lat_neg = pos_neg(fp_p, fp_g)
+    aud_pos, aud_neg = pos_neg(emb_p, emb_g)
+    return lat_pos, lat_neg, aud_pos, aud_neg
+
+
+def end_detection_gate(rows, tokenizer, steps: int, tol: int,
+                       seed: int = 0):
+    """End-detection accuracy on a head where the detector actually FIRES.
+    The sigma head's end-KL has an analytic floor (~1.21) above the 0.5
+    threshold, so the headline experiment can never exercise the stop path
+    (ref model.py:138-144 — the detector belongs to the stableaudio/melvae
+    heads). This arm trains a small stableaudio-head LM on the fabricated
+    latents (labels mean||std with the collate end@e-1 ones-label) and
+    measures how close greedy generation's stop frame lands to each row's
+    ground-truth length. Returns (accuracy within tol frames, mean abs
+    frame error). Small-model by design — the gate tests the detector
+    mechanism, not scale."""
+    import jax
+    import jax.numpy as jnp
+
+    from kalle_tpu.core.config import LlamaConfig, LlasaConfig, TrainConfig
+    from kalle_tpu.data.collate import Item, collate
+    from kalle_tpu.data.tokens import build_prompt_ids
+    from kalle_tpu.infer.generate import generate
+    from kalle_tpu.models.lm import llasa
+    from kalle_tpu.train.optim import make_optimizer
+    from kalle_tpu.train.step import make_train_state, train_step
+
+    d = np.load(rows[0]["vae"]).shape[-1]
+    cfg = LlasaConfig(llama=LlamaConfig.tiny(vocab_size=300), latent_dim=d,
+                      audio_proj_dim=64, head_variant="stableaudio")
+    # end_loss_weight boosted: the gate trains the STOP head specifically
+    # (the production default 0.002 learns it too slowly for a short gate
+    # run; the detector math being tested is weight-independent)
+    tcfg = TrainConfig(lr=3e-3, warmup_steps=5, total_steps=steps,
+                       end_loss_weight=1.0)
+
+    items, gt_lens = [], []
+    for row in rows:
+        lat = np.load(row["vae"]).astype(np.float32)
+        if lat.ndim == 3:
+            lat = lat[0]
+        ids = np.asarray(build_prompt_ids(tokenizer, row["caption"]),
+                         np.int32)
+        dist = np.concatenate([lat, 0.5 * np.ones_like(lat)], axis=-1)
+        items.append(Item(input_ids=ids, audio_latents=lat,
+                          audio_distribution=dist))
+        gt_lens.append(len(lat))
+    batch_np = collate(items, pad_token_id=tokenizer.pad_token_id)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+             if isinstance(v, np.ndarray)}
+
+    params = llasa.init_params(cfg, jax.random.key(seed))
+    tx = make_optimizer(tcfg)
+    state = make_train_state(params, tx)
+    for _ in range(steps):
+        state, _ = train_step(state, cfg, tcfg, tx, batch,
+                              jax.random.key(1))
+    trained = jax.device_get(state.params)
+
+    errs = []
+    for row, gt_len in zip(rows, gt_lens):
+        ids = np.asarray(build_prompt_ids(tokenizer, row["caption"]),
+                         np.int32)
+        res = generate(trained, cfg, jnp.asarray(ids[None]),
+                       jnp.ones((1, len(ids)), jnp.int32),
+                       jax.random.key(21), max_frames=gt_len + 8,
+                       greedy=True)
+        # n_frames counts the end-distribution frame too (discard-last);
+        # perfect end detection stops at gt_len emitted content frames
+        n_valid = max(int(res.n_frames[0]) - 1, 0)
+        errs.append(abs(n_valid - gt_len))
+    acc = float(np.mean([e <= tol for e in errs]))
+    return acc, float(np.mean(errs))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("config", nargs="?", default="configs/sigma_overfit.yaml")
@@ -142,6 +294,14 @@ def main(argv=None):
     ap.add_argument("--asr-lang", default="",
                     help="run the real ASR WER pipeline (en|zh) if backends "
                          "+ weights are installed; skipped otherwise")
+    ap.add_argument("--end-steps", type=int, default=None,
+                    help="train steps for the end-detection arm "
+                         "(default 150)")
+    ap.add_argument("--end-tol", type=int, default=2,
+                    help="end-detection pass tolerance in frames")
+    ap.add_argument("--end-acc", type=float, default=0.75,
+                    help="required fraction of rows stopping within "
+                         "--end-tol frames of ground truth")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -286,6 +446,22 @@ def main(argv=None):
     spk_sim = harness.speaker_similarity(tools.output_dir, meta_items,
                                          embedder)
 
+    # voice-clone acceptance: prompt-conditioned synthesis must embed
+    # closer to its own prompt than to other rows' prompts. Uses the
+    # weight-free spectral-statistics fingerprint — a RANDOM-init ECAPA
+    # saturates (~0.99 for every pair) and cannot discriminate
+    spec_embed = harness.make_spectral_embedder(
+        sample_rate=min(16000, codec_cfg.sample_rate))
+    pos_sim, neg_sim, aud_pos, aud_neg = prompt_clone_gate(
+        params, exp.model, tokenizer, codec, rows,
+        os.path.join(run_dir, "prompt_gate"), spec_embed, max_frames)
+
+    # end-detection accuracy on the stableaudio head (the detector the
+    # sigma headline model can never fire — end-KL floor 1.21 > 0.5)
+    end_acc, end_mae = end_detection_gate(rows, tokenizer,
+                                          steps=args.end_steps or 150,
+                                          tol=args.end_tol)
+
     wer = None
     if args.asr_lang:
         meta_lst = os.path.join(run_dir, "meta.lst")
@@ -306,6 +482,8 @@ def main(argv=None):
         "checkpoint_roundtrip": True,
         "all_wavs_written": bool(len(gen_wavs) == len(rows)
                                  and len(copysyn_wavs) == len(rows)),
+        "prompt_clone": bool(pos_sim > neg_sim),
+        "end_detection": bool(end_acc >= args.end_acc),
     }
     result = {
         "config": args.config,
@@ -320,6 +498,12 @@ def main(argv=None):
                       "wall_s": syn_s, "rtf_incl_compile": rtf,
                       "output_dir": tools.output_dir},
         "quality": {"latent_rel_mse": rel_mse, "speaker_sim": spk_sim,
+                    "prompt_clone_sim": pos_sim,
+                    "prompt_clone_neg_sim": neg_sim,
+                    "prompt_clone_audio_sim": aud_pos,
+                    "prompt_clone_audio_neg_sim": aud_neg,
+                    "end_detection_acc": end_acc,
+                    "end_detection_mae_frames": end_mae,
                     "wer": wer},
         "gates": gates,
         "ok": all(gates.values()),
@@ -331,7 +515,9 @@ def main(argv=None):
     print(f"[5/5] latent rel-MSE {rel_mse:.4f} (gate < {args.latent_gate}), "
           f"loss {first:.3f} -> {last_loss:.3f} "
           f"(ratio {loss_ratio:.3f} gate < {args.loss_drop}), "
-          f"spk-sim {spk_sim:.3f}")
+          f"spk-sim {spk_sim:.3f}, "
+          f"clone-sim {pos_sim:.3f} vs neg {neg_sim:.3f}, "
+          f"end-acc {end_acc:.2f} (mae {end_mae:.1f} fr)")
     print(f"experiment.json -> {out_path}  ok={result['ok']}")
     return 0 if result["ok"] else 1
 

@@ -104,6 +104,16 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--eval-every", type=int, default=1000)
     ap.add_argument("--mse-weight", type=float, default=50.0)
+    ap.add_argument("--gan", action="store_true",
+                    help="adversarial VAE-GAN training: MRSTFT + L1 + KL + "
+                         "LSGAN + feature matching against MPD+MRD "
+                         "discriminators (train/codec_trainer.py, ref "
+                         "stable_audio_tools/training/autoencoders.py:19, "
+                         "losses :330-360) instead of reconstruction-only")
+    ap.add_argument("--adv-weight", type=float, default=0.1)
+    ap.add_argument("--fm-weight", type=float, default=2.0)
+    ap.add_argument("--disc-lr", type=float, default=None,
+                    help="discriminator lr (default: --lr)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -162,20 +172,57 @@ def main():
     rng = np.random.default_rng(1)
     traj = []
     t0 = time.time()
-    for i in range(args.steps):
-        idx = rng.choice(len(train_bank), args.batch,
-                         replace=args.batch > len(train_bank))
-        params, opt, l, (mse, mr) = step(params, opt, train[idx])
-        if i % args.eval_every == 0 or i == args.steps - 1:
-            tr_snr, tr_mr = metrics(params, train)
-            ho_snr, ho_mr = metrics(params, held)
-            row = {"step": i, "train_snr_db": round(float(tr_snr), 2),
-                   "train_mrstft": round(float(tr_mr), 4),
-                   "holdout_snr_db": round(float(ho_snr), 2),
-                   "holdout_mrstft": round(float(ho_mr), 4),
-                   "wall_s": round(time.time() - t0, 1)}
-            traj.append(row)
-            print(json.dumps(row), flush=True)
+    if args.gan:
+        from kalle_tpu.models.codecs import discriminators as disc_mod
+        from kalle_tpu.train import codec_trainer as ct
+
+        dcfg = (disc_mod.DiscriminatorConfig() if args.size == "full"
+                else disc_mod.DiscriminatorConfig.tiny())
+        weights = ct.LossWeights(mrstft=1.0, l1=0.1, kl=1e-4,
+                                 adv=args.adv_weight, fm=args.fm_weight)
+        gen_tx = ct.make_codec_optimizer(args.lr)
+        disc_tx = ct.make_codec_optimizer(args.disc_lr or args.lr)
+        state = ct.make_state(params,
+                              disc_mod.init_params(dcfg, jax.random.key(2)),
+                              gen_tx, disc_tx)
+        key = jax.random.key(3)
+        for i in range(args.steps):
+            idx = rng.choice(len(train_bank), args.batch,
+                             replace=args.batch > len(train_bank))
+            wav = train[idx]
+            state, dm = ct.discriminator_step(state, "sigma", cfg, dcfg,
+                                              disc_tx, wav, key)
+            state, gm = ct.generator_step(state, "sigma", cfg, dcfg, gen_tx,
+                                          weights, wav, key)
+            params = state.gen_params
+            if i % args.eval_every == 0 or i == args.steps - 1:
+                tr_snr, tr_mr = metrics(params, train)
+                ho_snr, ho_mr = metrics(params, held)
+                row = {"step": i, "train_snr_db": round(float(tr_snr), 2),
+                       "train_mrstft": round(float(tr_mr), 4),
+                       "holdout_snr_db": round(float(ho_snr), 2),
+                       "holdout_mrstft": round(float(ho_mr), 4),
+                       "adv_d": round(float(dm["adv_d"]), 4),
+                       "adv_g": round(float(gm["adv_g"]), 4),
+                       "fm": round(float(gm["fm"]), 4),
+                       "wall_s": round(time.time() - t0, 1)}
+                traj.append(row)
+                print(json.dumps(row), flush=True)
+    else:
+        for i in range(args.steps):
+            idx = rng.choice(len(train_bank), args.batch,
+                             replace=args.batch > len(train_bank))
+            params, opt, l, (mse, mr) = step(params, opt, train[idx])
+            if i % args.eval_every == 0 or i == args.steps - 1:
+                tr_snr, tr_mr = metrics(params, train)
+                ho_snr, ho_mr = metrics(params, held)
+                row = {"step": i, "train_snr_db": round(float(tr_snr), 2),
+                       "train_mrstft": round(float(tr_mr), 4),
+                       "holdout_snr_db": round(float(ho_snr), 2),
+                       "holdout_mrstft": round(float(ho_mr), 4),
+                       "wall_s": round(time.time() - t0, 1)}
+                traj.append(row)
+                print(json.dumps(row), flush=True)
 
     tr_snr, tr_mr = metrics(params, train)
     ho_snr, ho_mr = metrics(params, held)
@@ -199,7 +246,7 @@ def main():
         "mrstft": round(float(tr_mr), 4),
         "holdout_snr_db": round(float(ho_snr), 2),
         "holdout_mrstft": round(float(ho_mr), 4),
-        "steps": args.steps, "size": args.size,
+        "steps": args.steps, "size": args.size, "gan": args.gan,
         "clips": args.clips, "holdout_clips": args.holdout,
         "wall_s": round(time.time() - t0, 1)}))
 
