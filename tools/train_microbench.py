@@ -35,7 +35,24 @@ def main():
         "b8,t1024,flash,remat",
         "b2,t2048,flash,remat",
     ], help="each: b<batch>,t<bucket>[,remat][,flash]")
+    ap.add_argument("--breakdown", action="store_true",
+                    help="attribute step time per config: forward-only "
+                         "(2N FLOPs/token), forward+backward (6N), full "
+                         "step (+AdamW update & global grad norm) — the "
+                         "difference columns localize the non-MFU time")
+    ap.add_argument("--profile", default="",
+                    help="capture a jax.profiler trace of ~8 steps of the "
+                         "FIRST config into this dir")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model (CPU smoke of the harness itself; "
+                         "MFU numbers are meaningless off-chip)")
+    ap.add_argument("--platform", default="")
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     import dataclasses
 
@@ -58,7 +75,16 @@ def main():
         t = int(parts[1][1:])
         remat = "remat" in parts or "dots" in parts
         flash = "flash" in parts
-        cfg = _flagship_cfg()
+        if args.tiny:
+            from kalle_tpu.core.config import LlasaConfig
+
+            cfg = LlasaConfig.tiny()
+            n_params = sum(
+                int(np.prod(x.shape)) for x in jax.tree.leaves(
+                    llasa.init_params(cfg, jax.random.key(0))))
+            flash = False  # interpret-mode flash is pointlessly slow on CPU
+        else:
+            cfg = _flagship_cfg()
         cfg = dataclasses.replace(
             cfg, llama=dataclasses.replace(
                 cfg.llama, remat=remat, use_flash_attention=flash,
@@ -76,6 +102,13 @@ def main():
         try:
             state, m = train_step(state, cfg, tcfg, tx, batch, rng)  # compile
             float(m["total_loss"])
+            if args.profile and spec == args.configs[0]:
+                with jax.profiler.trace(args.profile):
+                    for _ in range(8):
+                        state, m = train_step(state, cfg, tcfg, tx, batch,
+                                               rng)
+                    float(m["total_loss"])
+                print(f"# trace -> {args.profile}", flush=True)
             t0 = time.perf_counter()
             for _ in range(args.iters):
                 state, m = train_step(state, cfg, tcfg, tx, batch, rng)
@@ -90,6 +123,45 @@ def main():
         print(f"{spec:28s} {dt*1e3:7.1f} ms/step  {toks/dt/1e3:7.1f}k tok/s"
               f"  MFU {flops/dt/1e12/PEAK_TFLOPS*100:5.1f}%"
               f"  (loss {loss:.3f})", flush=True)
+
+        if args.breakdown:
+            from kalle_tpu.train.step import loss_fn
+
+            # forward only (fence: the scalar loss)
+            fwd = jax.jit(lambda p, bt, r: loss_fn(p, cfg, tcfg, bt, r)[0])
+
+            # forward+backward WITHOUT the optimizer. DCE guard: returning
+            # only the loss would let XLA prune the per-layer dW GEMMs, so
+            # also return a sum over every grad leaf (one elementwise read
+            # pass over ~2.5 GB of grads, ~3 ms at HBM peak — subtract
+            # mentally when comparing against the full step)
+            def _fb(p, bt, r):
+                (l, _), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    p, cfg, tcfg, bt, r)
+                s = jax.tree.reduce(
+                    lambda a, x: a + x.sum().astype(jnp.float32), g, 0.0)
+                return l, s
+
+            fb = jax.jit(_fb)
+            rows = []
+            bp = state.params  # `params` was donated into the state
+            for name, fn, nflops in (("fwd", fwd, 2), ("fwd+bwd", fb, 6)):
+                out = fn(bp, batch, rng)
+                jax.tree.map(lambda x: np.asarray(x), out)  # compile+fence
+                t0 = time.perf_counter()
+                for _ in range(args.iters):
+                    out = fn(bp, batch, rng)
+                jax.tree.map(lambda x: np.asarray(x), out)
+                d = (time.perf_counter() - t0) / args.iters
+                rows.append((name, d, nflops))
+            for name, d, nf in rows:
+                mfu = nf * n_params * toks / d / 1e12 / PEAK_TFLOPS * 100
+                print(f"    {name:10s} {d*1e3:7.1f} ms  MFU {mfu:5.1f}%",
+                      flush=True)
+            fb_ms = rows[1][1] * 1e3
+            print(f"    opt+norm   {dt*1e3 - fb_ms:7.1f} ms  "
+                  f"(full step - fwd+bwd; includes the DCE-guard pass)",
+                  flush=True)
 
 
 if __name__ == "__main__":
