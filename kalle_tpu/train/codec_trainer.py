@@ -40,6 +40,7 @@ class CodecTrainState(NamedTuple):
 class LossWeights(NamedTuple):
     mrstft: float = 1.0
     l1: float = 0.1
+    mse: float = 0.0
     kl: float = 1e-4
     adv: float = 1.0
     fm: float = 2.0
@@ -93,11 +94,17 @@ def _reconstruct(kind: str, cfg, params, wav, rng):
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "cfg", "dcfg", "gen_tx",
-                                             "weights"))
+                                             "weights", "warmup_steps"))
 def generator_step(state: CodecTrainState, kind: str, cfg, dcfg, gen_tx,
-                   weights: LossWeights, wav: jnp.ndarray, rng: jax.Array
+                   weights: LossWeights, wav: jnp.ndarray, rng: jax.Array,
+                   warmup_steps: int = 0
                    ) -> Tuple[CodecTrainState, Dict[str, jnp.ndarray]]:
+    """One generator update. Adversarial + feature-matching terms are zero
+    until ``state.step >= warmup_steps`` (reference semantics:
+    stable_audio_tools/training/autoencoders.py:228-292 — recon-only until
+    warmed up, then the GAN terms switch on)."""
     rng = jax.random.fold_in(rng, state.step)
+    warmed = (state.step >= warmup_steps).astype(jnp.float32)
 
     def loss_fn(gp):
         wav_hat, kl = _reconstruct(kind, cfg, gp, wav, rng)
@@ -105,14 +112,16 @@ def generator_step(state: CodecTrainState, kind: str, cfg, dcfg, gen_tx,
         x, y = wav_hat[..., :T], wav[..., :T]
         mr = multi_resolution_stft_loss(x[:, 0], y[:, 0])
         l1 = l1_time_loss(x, y)
+        mse = jnp.mean((x - y) ** 2)
         fake_logits, fake_feats = disc.forward(state.disc_params, dcfg, x)
         _, real_feats = disc.forward(state.disc_params, dcfg, y)
         adv = generator_adv_loss(fake_logits)
         fm = feature_matching_loss(real_feats, fake_feats)
-        total = (weights.mrstft * mr + weights.l1 * l1 + weights.kl * kl
-                 + weights.adv * adv + weights.fm * fm)
-        return total, {"mrstft": mr, "l1": l1, "kl": kl, "adv_g": adv,
-                       "fm": fm, "gen_total": total}
+        total = (weights.mrstft * mr + weights.l1 * l1 + weights.mse * mse
+                 + weights.kl * kl
+                 + warmed * (weights.adv * adv + weights.fm * fm))
+        return total, {"mrstft": mr, "l1": l1, "mse": mse, "kl": kl,
+                       "adv_g": adv, "fm": fm, "gen_total": total}
 
     (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.gen_params)

@@ -64,6 +64,35 @@ def test_gan_training_steps_run_and_descend():
     assert float(gm["gen_total"]) < first
 
 
+def test_generator_warmup_gates_adversarial_terms():
+    """Before warmup_steps the generator update must equal a pure-recon
+    update: adv/fm terms contribute zero gradient (ref autoencoders.py:228 —
+    loss_adv/loss_dis forced to 0 until warmed up)."""
+    cfg = SigmaVAEConfig.tiny()
+    dcfg = disc.DiscriminatorConfig.tiny()
+    gen_params = init_params(cfg, jax.random.key(0))
+    disc_params = disc.init_params(dcfg, jax.random.key(1))
+    gen_tx = optax.adam(1e-3)
+    rng = np.random.default_rng(2)
+    wav = jnp.asarray(rng.normal(size=(2, 1, 4 * cfg.hop)), jnp.float32)
+
+    heavy = LossWeights(mrstft=1.0, l1=0.5, kl=1e-4, adv=100.0, fm=100.0)
+    none = LossWeights(mrstft=1.0, l1=0.5, kl=1e-4, adv=0.0, fm=0.0)
+    s0 = make_state(gen_params, disc_params, gen_tx, optax.adam(1e-3))
+    sa, gm_a = generator_step(s0, "sigma", cfg, dcfg, gen_tx, heavy, wav,
+                              jax.random.key(3), warmup_steps=10)
+    sb, gm_b = generator_step(s0, "sigma", cfg, dcfg, gen_tx, none, wav,
+                              jax.random.key(3), warmup_steps=0)
+    for a, b in zip(jax.tree.leaves(sa.gen_params),
+                    jax.tree.leaves(sb.gen_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    # past warmup the adversarial terms enter the total
+    _, gm_c = generator_step(sa, "sigma", cfg, dcfg, gen_tx, heavy, wav,
+                             jax.random.key(3), warmup_steps=1)
+    assert float(gm_c["gen_total"]) > float(gm_c["mrstft"]) + 1.0
+
+
 def test_inverse_lr_matches_reference():
     """Golden parity vs the vendored torch InverseLR scheduler
     (stable_audio_tools/training/utils.py:17-56)."""

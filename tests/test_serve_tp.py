@@ -48,6 +48,33 @@ def test_dp_tp_sharded_batcher_matches_single_device():
                                    rtol=2e-3, atol=2e-4)
 
 
+def test_shard_state_prunes_to_mesh_axes():
+    """dp-only and tp-only meshes shard what they have; absent axes fall
+    back to replicated (prune_spec semantics)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from kalle_tpu.infer.serve_loop import init_state, shard_state
+
+    cfg = LlasaConfig(llama=LlamaConfig.tiny(), latent_dim=8,
+                      audio_proj_dim=64, head_variant="stableaudio")
+    state = init_state(cfg, batch_size=2, cache_len=128, max_frames=4)
+
+    def eq(arr, mesh, spec):
+        return arr.sharding.is_equivalent_to(NamedSharding(mesh, spec),
+                                             arr.ndim)
+
+    mesh_dp = make_mesh(dp=2, devices=jax.devices()[:2])
+    s = shard_state(state, mesh_dp)
+    assert eq(s.k, mesh_dp, P(None, "dp"))
+    assert eq(s.means, mesh_dp, P("dp"))
+
+    mesh_tp = make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    s = shard_state(state, mesh_tp)
+    assert eq(s.k, mesh_tp, P(None, None, "tp"))
+    assert eq(s.v, mesh_tp, P(None, None, "tp"))
+    assert eq(s.means, mesh_tp, P())  # dp absent -> replicated
+
+
 def test_tp_sharded_batcher_int8_kv():
     """int8 KV-cache scales shard alongside the cache over dp x tp."""
     cfg, params, prompts = _setup()

@@ -112,6 +112,11 @@ def main():
                          "losses :330-360) instead of reconstruction-only")
     ap.add_argument("--adv-weight", type=float, default=0.1)
     ap.add_argument("--fm-weight", type=float, default=2.0)
+    ap.add_argument("--warmup-steps", type=int, default=None,
+                    help="recon-only generator steps before the adversarial "
+                         "terms switch on and the discriminator starts "
+                         "training (ref autoencoders.py:228; default "
+                         "steps//2)")
     ap.add_argument("--disc-lr", type=float, default=None,
                     help="discriminator lr (default: --lr)")
     ap.add_argument("--out", default="")
@@ -178,22 +183,33 @@ def main():
 
         dcfg = (disc_mod.DiscriminatorConfig() if args.size == "full"
                 else disc_mod.DiscriminatorConfig.tiny())
-        weights = ct.LossWeights(mrstft=1.0, l1=0.1, kl=1e-4,
-                                 adv=args.adv_weight, fm=args.fm_weight)
+        # identical reconstruction objective to the recon-only arm
+        # (mse_weight*MSE + MRSTFT) so the A/B isolates the GAN terms
+        weights = ct.LossWeights(mrstft=1.0, l1=0.0, mse=args.mse_weight,
+                                 kl=1e-4, adv=args.adv_weight,
+                                 fm=args.fm_weight)
+        warmup = (args.steps // 2 if args.warmup_steps is None
+                  else args.warmup_steps)
         gen_tx = ct.make_codec_optimizer(args.lr)
         disc_tx = ct.make_codec_optimizer(args.disc_lr or args.lr)
         state = ct.make_state(params,
                               disc_mod.init_params(dcfg, jax.random.key(2)),
                               gen_tx, disc_tx)
         key = jax.random.key(3)
+        dm = {"adv_d": float("nan")}
         for i in range(args.steps):
             idx = rng.choice(len(train_bank), args.batch,
                              replace=args.batch > len(train_bank))
             wav = train[idx]
-            state, dm = ct.discriminator_step(state, "sigma", cfg, dcfg,
-                                              disc_tx, wav, key)
+            # disc alternates on odd steps once warmed (ref :309); the
+            # generator trains every step so both A/B arms see equal
+            # generator updates
+            if i >= warmup and i % 2:
+                state, dm = ct.discriminator_step(state, "sigma", cfg, dcfg,
+                                                  disc_tx, wav, key)
             state, gm = ct.generator_step(state, "sigma", cfg, dcfg, gen_tx,
-                                          weights, wav, key)
+                                          weights, wav, key,
+                                          warmup_steps=warmup)
             params = state.gen_params
             if i % args.eval_every == 0 or i == args.steps - 1:
                 tr_snr, tr_mr = metrics(params, train)
@@ -247,6 +263,8 @@ def main():
         "holdout_snr_db": round(float(ho_snr), 2),
         "holdout_mrstft": round(float(ho_mr), 4),
         "steps": args.steps, "size": args.size, "gan": args.gan,
+        "warmup_steps": (args.warmup_steps if args.warmup_steps is not None
+                         else args.steps // 2) if args.gan else None,
         "clips": args.clips, "holdout_clips": args.holdout,
         "wall_s": round(time.time() - t0, 1)}))
 
