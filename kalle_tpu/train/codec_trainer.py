@@ -94,15 +94,23 @@ def _reconstruct(kind: str, cfg, params, wav, rng):
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "cfg", "dcfg", "gen_tx",
-                                             "weights", "warmup_steps"))
+                                             "weights", "warmup_steps",
+                                             "gan_on"))
 def generator_step(state: CodecTrainState, kind: str, cfg, dcfg, gen_tx,
                    weights: LossWeights, wav: jnp.ndarray, rng: jax.Array,
-                   warmup_steps: int = 0
+                   warmup_steps: int = 0, gan_on: bool = True
                    ) -> Tuple[CodecTrainState, Dict[str, jnp.ndarray]]:
     """One generator update. Adversarial + feature-matching terms are zero
     until ``state.step >= warmup_steps`` (reference semantics:
     stable_audio_tools/training/autoencoders.py:228-292 — recon-only until
-    warmed up, then the GAN terms switch on)."""
+    warmed up, then the GAN terms switch on).
+
+    ``gan_on=False`` compiles a recon-only graph with NO discriminator ops
+    at all — the dynamic ``warmed`` gate multiplies by a traced scalar, so
+    XLA cannot dead-code the disc forward/backward out of the warmup graph;
+    hosts that know the phase statically (the train loop does) should pass
+    ``gan_on=(step >= warmup)`` and get ~3x cheaper warmup steps. The two
+    graphs produce identical updates during warmup (tested)."""
     rng = jax.random.fold_in(rng, state.step)
     warmed = (state.step >= warmup_steps).astype(jnp.float32)
 
@@ -113,13 +121,16 @@ def generator_step(state: CodecTrainState, kind: str, cfg, dcfg, gen_tx,
         mr = multi_resolution_stft_loss(x[:, 0], y[:, 0])
         l1 = l1_time_loss(x, y)
         mse = jnp.mean((x - y) ** 2)
-        fake_logits, fake_feats = disc.forward(state.disc_params, dcfg, x)
-        _, real_feats = disc.forward(state.disc_params, dcfg, y)
-        adv = generator_adv_loss(fake_logits)
-        fm = feature_matching_loss(real_feats, fake_feats)
         total = (weights.mrstft * mr + weights.l1 * l1 + weights.mse * mse
-                 + weights.kl * kl
-                 + warmed * (weights.adv * adv + weights.fm * fm))
+                 + weights.kl * kl)
+        if gan_on:
+            fake_logits, fake_feats = disc.forward(state.disc_params, dcfg, x)
+            _, real_feats = disc.forward(state.disc_params, dcfg, y)
+            adv = generator_adv_loss(fake_logits)
+            fm = feature_matching_loss(real_feats, fake_feats)
+            total = total + warmed * (weights.adv * adv + weights.fm * fm)
+        else:
+            adv = fm = jnp.zeros((), total.dtype)
         return total, {"mrstft": mr, "l1": l1, "mse": mse, "kl": kl,
                        "adv_g": adv, "fm": fm, "gen_total": total}
 

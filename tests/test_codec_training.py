@@ -83,9 +83,15 @@ def test_generator_warmup_gates_adversarial_terms():
                               jax.random.key(3), warmup_steps=10)
     sb, gm_b = generator_step(s0, "sigma", cfg, dcfg, gen_tx, none, wav,
                               jax.random.key(3), warmup_steps=0)
-    for a, b in zip(jax.tree.leaves(sa.gen_params),
-                    jax.tree.leaves(sb.gen_params)):
+    # static recon-only graph (no disc ops at all) must match both
+    sc, _ = generator_step(s0, "sigma", cfg, dcfg, gen_tx, heavy, wav,
+                           jax.random.key(3), warmup_steps=10, gan_on=False)
+    for a, b, c in zip(jax.tree.leaves(sa.gen_params),
+                       jax.tree.leaves(sb.gen_params),
+                       jax.tree.leaves(sc.gen_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=1e-6, atol=1e-7)
     # past warmup the adversarial terms enter the total
     _, gm_c = generator_step(sa, "sigma", cfg, dcfg, gen_tx, heavy, wav,

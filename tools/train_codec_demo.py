@@ -197,6 +197,9 @@ def main():
                               gen_tx, disc_tx)
         key = jax.random.key(3)
         dm = {"adv_d": float("nan")}
+        # adversarial arm only when the GAN weights are nonzero (the A/B
+        # control --adv-weight 0 --fm-weight 0 never builds disc graphs)
+        use_adv = bool(args.adv_weight or args.fm_weight)
         for i in range(args.steps):
             idx = rng.choice(len(train_bank), args.batch,
                              replace=args.batch > len(train_bank))
@@ -204,12 +207,13 @@ def main():
             # disc alternates on odd steps once warmed (ref :309); the
             # generator trains every step so both A/B arms see equal
             # generator updates
-            if i >= warmup and i % 2:
+            gan_on = use_adv and i >= warmup
+            if gan_on and i % 2:
                 state, dm = ct.discriminator_step(state, "sigma", cfg, dcfg,
                                                   disc_tx, wav, key)
             state, gm = ct.generator_step(state, "sigma", cfg, dcfg, gen_tx,
                                           weights, wav, key,
-                                          warmup_steps=warmup)
+                                          warmup_steps=warmup, gan_on=gan_on)
             params = state.gen_params
             if i % args.eval_every == 0 or i == args.steps - 1:
                 tr_snr, tr_mr = metrics(params, train)
