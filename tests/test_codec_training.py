@@ -99,6 +99,43 @@ def test_generator_warmup_gates_adversarial_terms():
     assert float(gm_c["gen_total"]) > float(gm_c["mrstft"]) + 1.0
 
 
+def test_codec_train_state_checkpoint_roundtrip(tmp_path):
+    """The FULL GAN training state (gen+disc params, both optimizer states,
+    step) round-trips through CheckpointManager — codec training resumes
+    exactly, unlike the reference which restarts optimizer state
+    (ref train_offline.py:261-264, accelerator.save_state commented out)."""
+    from kalle_tpu.core.checkpoint import CheckpointManager
+
+    cfg = SigmaVAEConfig.tiny()
+    dcfg = disc.DiscriminatorConfig.tiny()
+    gen_tx = optax.adam(1e-3)
+    disc_tx = optax.adam(1e-3)
+    state = make_state(init_params(cfg, jax.random.key(0)),
+                       disc.init_params(dcfg, jax.random.key(1)),
+                       gen_tx, disc_tx)
+    rng = np.random.default_rng(2)
+    wav = jnp.asarray(rng.normal(size=(2, 1, 4 * cfg.hop)), jnp.float32)
+    weights = LossWeights(mrstft=1.0, adv=0.1, fm=0.1)
+    state, _ = generator_step(state, "sigma", cfg, dcfg, gen_tx, weights,
+                              wav, jax.random.key(3))
+    state, _ = discriminator_step(state, "sigma", cfg, dcfg, disc_tx, wav,
+                                  jax.random.key(4))
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(int(state.step), state, wait=True)
+    mgr.close()
+
+    template = make_state(init_params(cfg, jax.random.key(9)),
+                          disc.init_params(dcfg, jax.random.key(8)),
+                          gen_tx, disc_tx)
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"))
+    restored, step = mgr2.restore(template)
+    mgr2.close()
+    assert step == int(state.step)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_inverse_lr_matches_reference():
     """Golden parity vs the vendored torch InverseLR scheduler
     (stable_audio_tools/training/utils.py:17-56)."""

@@ -119,6 +119,13 @@ def main():
                          "steps//2)")
     ap.add_argument("--disc-lr", type=float, default=None,
                     help="discriminator lr (default: --lr)")
+    ap.add_argument("--ckpt", default="",
+                    help="checkpoint dir for the GAN arm: saves the FULL "
+                         "CodecTrainState (gen+disc params AND both "
+                         "optimizer states) every eval and auto-resumes "
+                         "from the newest checkpoint (core/checkpoint.py — "
+                         "beyond the reference, which restarts optimizer "
+                         "state on resume, ref train_offline.py:261-264)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -200,7 +207,17 @@ def main():
         # adversarial arm only when the GAN weights are nonzero (the A/B
         # control --adv-weight 0 --fm-weight 0 never builds disc graphs)
         use_adv = bool(args.adv_weight or args.fm_weight)
-        for i in range(args.steps):
+        mgr = None
+        start = 0
+        if args.ckpt:
+            from kalle_tpu.core.checkpoint import CheckpointManager
+
+            mgr = CheckpointManager(args.ckpt)
+            state, start = mgr.restore(state)
+            if start:
+                rng = np.random.default_rng([1, start])  # fresh stream
+                print(f"# resumed step {start} from {args.ckpt}", flush=True)
+        for i in range(start, args.steps):
             idx = rng.choice(len(train_bank), args.batch,
                              replace=args.batch > len(train_bank))
             wav = train[idx]
@@ -228,6 +245,10 @@ def main():
                        "wall_s": round(time.time() - t0, 1)}
                 traj.append(row)
                 print(json.dumps(row), flush=True)
+                if mgr is not None:
+                    mgr.save(i + 1, state, wait=True)
+        if mgr is not None:
+            mgr.close()
     else:
         for i in range(args.steps):
             idx = rng.choice(len(train_bank), args.batch,
