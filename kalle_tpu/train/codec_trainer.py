@@ -95,10 +95,11 @@ def _reconstruct(kind: str, cfg, params, wav, rng):
 
 @functools.partial(jax.jit, static_argnames=("kind", "cfg", "dcfg", "gen_tx",
                                              "weights", "warmup_steps",
-                                             "gan_on"))
+                                             "gan_on", "resolutions"))
 def generator_step(state: CodecTrainState, kind: str, cfg, dcfg, gen_tx,
                    weights: LossWeights, wav: jnp.ndarray, rng: jax.Array,
-                   warmup_steps: int = 0, gan_on: bool = True
+                   warmup_steps: int = 0, gan_on: bool = True,
+                   resolutions=None
                    ) -> Tuple[CodecTrainState, Dict[str, jnp.ndarray]]:
     """One generator update. Adversarial + feature-matching terms are zero
     until ``state.step >= warmup_steps`` (reference semantics:
@@ -109,16 +110,23 @@ def generator_step(state: CodecTrainState, kind: str, cfg, dcfg, gen_tx,
     at all — the dynamic ``warmed`` gate multiplies by a traced scalar, so
     XLA cannot dead-code the disc forward/backward out of the warmup graph;
     hosts that know the phase statically (the train loop does) should pass
-    ``gan_on=(step >= warmup)`` and get ~3x cheaper warmup steps. The two
-    graphs produce identical updates during warmup (tested)."""
+    ``gan_on=(step >= warmup)``. The saving scales with discriminator size
+    (a few % for DiscriminatorConfig.tiny, substantial for the full
+    MPD+MRD stack). The two graphs produce identical updates during warmup
+    (tested).
+
+    ``resolutions`` overrides the MRSTFT resolution bank (static tuple of
+    (n_fft, hop, win); default = auraloss defaults, whose dense hops
+    120/240/50 cost ~2x the sparser banks typically used for eval)."""
     rng = jax.random.fold_in(rng, state.step)
     warmed = (state.step >= warmup_steps).astype(jnp.float32)
+    mr_kw = {} if resolutions is None else {"resolutions": resolutions}
 
     def loss_fn(gp):
         wav_hat, kl = _reconstruct(kind, cfg, gp, wav, rng)
         T = min(wav.shape[-1], wav_hat.shape[-1])
         x, y = wav_hat[..., :T], wav[..., :T]
-        mr = multi_resolution_stft_loss(x[:, 0], y[:, 0])
+        mr = multi_resolution_stft_loss(x[:, 0], y[:, 0], **mr_kw)
         l1 = l1_time_loss(x, y)
         mse = jnp.mean((x - y) ** 2)
         total = (weights.mrstft * mr + weights.l1 * l1 + weights.mse * mse

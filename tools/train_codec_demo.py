@@ -230,7 +230,8 @@ def main():
                                                   disc_tx, wav, key)
             state, gm = ct.generator_step(state, "sigma", cfg, dcfg, gen_tx,
                                           weights, wav, key,
-                                          warmup_steps=warmup, gan_on=gan_on)
+                                          warmup_steps=warmup, gan_on=gan_on,
+                                          resolutions=resolutions)
             params = state.gen_params
             if i % args.eval_every == 0 or i == args.steps - 1:
                 tr_snr, tr_mr = metrics(params, train)
