@@ -160,6 +160,13 @@ class TrainConfig:
     kl_loss_weight: float = 0.0
     seed: int = 42
     max_grad_norm: Optional[float] = None
+    # emit metrics["grad_norm"] from train_step. Off by default: with
+    # max_grad_norm=None (reference parity — clipping is commented out at
+    # ref train_offline.py:246) the norm is a dedicated full read pass over
+    # ~2.5 GB of grads, measured 4.7 ms/step on the 1B flagship (v5e) —
+    # ~3.4% of the b4xt512 step — purely for a log line the reference
+    # doesn't have.
+    log_grad_norm: bool = False
     # parallelism: mesh axis sizes; -1 means "all remaining devices"
     dp: int = -1
     tp: int = 1

@@ -127,6 +127,32 @@ def pad_batch_rows(batch: Dict[str, np.ndarray], multiple: int,
     return out
 
 
+def stack_microbatches(batches: List[Dict[str, np.ndarray]],
+                       pad_token_id: int) -> Dict[str, np.ndarray]:
+    """Stack A collated batches into (A, B, ...) microbatch arrays for the
+    in-step gradient-accumulation scan (train_step). Batches from different
+    length buckets are padded to the group max (loss-neutral: pad positions
+    carry zero masks; labels keep the ones-init convention, input_ids the
+    pad token)."""
+    keys = [k for k, v in batches[0].items() if isinstance(v, np.ndarray)]
+    out = {}
+    for k in keys:
+        arrs = [b[k] for b in batches]
+        tgt = tuple(max(a.shape[d] for a in arrs)
+                    for d in range(arrs[0].ndim))
+        fill = (pad_token_id if k == "input_ids"
+                else 1 if k == "distribute_labels" else 0)
+        padded = []
+        for a in arrs:
+            if a.shape != tgt:
+                p = np.full(tgt, fill, a.dtype)
+                p[tuple(slice(0, s) for s in a.shape)] = a
+                a = p
+            padded.append(a)
+        out[k] = np.stack(padded, axis=0)
+    return out
+
+
 class DynamicBatchGenerator:
     """Token-budget batching: the batch closes when
     max_item_len * (n+1) > max_token_length or n >= batch_size

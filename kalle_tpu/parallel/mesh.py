@@ -197,7 +197,11 @@ def shard_params(params: dict, mesh: Mesh, fsdp: bool = False,
             is_leaf=lambda x: isinstance(x, P)))
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    sh = NamedSharding(mesh, batch_pspec())
+def shard_batch(batch: dict, mesh: Mesh, leading_accum: bool = False) -> dict:
+    """leading_accum=True: leaves are (A, B, ...) microbatch stacks
+    (train_step gradient accumulation) — dp shards the B axis, the scan
+    axis A stays replicated."""
+    spec = P(None, DP_AXIS) if leading_accum else batch_pspec()
+    sh = NamedSharding(mesh, spec)
     return {k: (jax.device_put(v, sh) if hasattr(v, "shape") else v)
             for k, v in batch.items()}

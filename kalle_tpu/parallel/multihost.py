@@ -49,10 +49,13 @@ def barrier(name: str = "barrier") -> None:
     multihost_utils.sync_global_devices(name)
 
 
-def host_local_to_global(batch, mesh):
-    """Assemble per-host batch shards into a global array on the dp mesh."""
+def host_local_to_global(batch, mesh, leading_accum: bool = False):
+    """Assemble per-host batch shards into a global array on the dp mesh.
+    leading_accum=True: leaves are (A, B, ...) microbatch stacks — the dp
+    axis is axis 1 (train_step gradient-accumulation contract)."""
     from jax.experimental import multihost_utils
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
+    spec = P(None, "dp") if leading_accum else P("dp")
     return multihost_utils.host_local_array_to_global_array(
-        batch, mesh, P("dp"))
+        batch, mesh, spec)

@@ -20,7 +20,7 @@ import numpy as np
 
 from ..core.checkpoint import CheckpointManager, load_reference_llasa_checkpoint
 from ..core.config import ExperimentConfig
-from ..data.collate import pad_batch_rows
+from ..data.collate import pad_batch_rows, stack_microbatches
 from ..data.datasets import OfflineLatentDataset, PrefetchLoader
 from ..models.lm import llasa
 from ..parallel import multihost
@@ -104,6 +104,22 @@ class Trainer:
         b = {k: jnp.asarray(np_batch[k]) for k in BATCH_KEYS}
         return shard_batch(b, self.mesh)
 
+    def _device_batch_accum(self, np_batches):
+        """Stack A loader batches into the (A, B, ...) microbatch form
+        train_step's gradient-accumulation scan expects (dp on axis 1)."""
+        pad_id = self.tokenizer.pad_token_id
+        dp = self.mesh.shape["dp"]
+        local_dp = (max(1, dp // self.process_count)
+                    if self.process_count > 1 else dp)
+        padded = [pad_batch_rows(b, local_dp, pad_id) for b in np_batches]
+        stacked = stack_microbatches(
+            [{k: b[k] for k in BATCH_KEYS} for b in padded], pad_id)
+        if self.process_count > 1:
+            return multihost.host_local_to_global(stacked, self.mesh,
+                                                  leading_accum=True)
+        b = {k: jnp.asarray(v) for k, v in stacked.items()}
+        return shard_batch(b, self.mesh, leading_accum=True)
+
     def fit(self, max_steps: Optional[int] = None,
             profile_steps: Optional[tuple] = None) -> Dict[str, float]:
         """profile_steps=(start, stop): capture a jax.profiler trace into
@@ -131,12 +147,22 @@ class Trainer:
         epoch = 0
         last_metrics: Dict[str, float] = {}
         t_last = time.time()
+        accum = tcfg.gradient_accumulation_steps
+        micro_buf: list = []
         with jax.sharding.set_mesh(self.mesh):
             while True:
                 for np_batch in loader.epoch_iter(epoch):
                     if not len(np_batch["input_ids"]):
                         continue
-                    batch = self._device_batch(np_batch)
+                    if accum > 1:
+                        micro_buf.append(np_batch)
+                        if len(micro_buf) < accum:
+                            continue
+                        batch = self._device_batch_accum(micro_buf)
+                        np_batch = micro_buf[-1]  # for log line / eval hook
+                        micro_buf = []
+                    else:
+                        batch = self._device_batch(np_batch)
                     if profile_steps and step == profile_steps[0]:
                         jax.profiler.start_trace(exp.log_dir)
                     self.state, m = train_step(

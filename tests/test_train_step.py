@@ -13,12 +13,12 @@ from kalle_tpu.train.optim import make_optimizer
 from kalle_tpu.train.step import make_train_state, train_step
 
 
-def _tiny_batch(b=1, latent_dim=8, seed=0):
+def _tiny_batch(b=1, latent_dim=8, seed=0, n_ids=6, n_frames=10):
     rng = np.random.default_rng(seed)
     items = []
     for i in range(b):
-        ids = rng.integers(0, 300, (6,)).astype(np.int32)
-        lat = rng.normal(size=(10, latent_dim)).astype(np.float32)
+        ids = rng.integers(0, 300, (n_ids,)).astype(np.int32)
+        lat = rng.normal(size=(n_frames, latent_dim)).astype(np.float32)
         items.append(Item(input_ids=ids, audio_latents=lat,
                           audio_distribution=lat.copy()))
     batch = collate(items, pad_token_id=0)
@@ -81,7 +81,9 @@ def test_dp_tp_sharded_step_matches_single_device():
 
 
 def test_grad_accumulation_equivalence():
-    """MultiSteps(2) on two half-batches == one step on the full batch."""
+    """One accumulated step on an (A=2, B=2, ...) microbatch stack == one
+    step on the full (4, ...) batch (in-step lax.scan accumulation; the
+    optax.MultiSteps mechanism was retired — see train/step.py)."""
     # melvae head: deterministic forward (no sigma input-noise), so the
     # full batch and the two micro-batches see identical computations
     cfg = LlasaConfig(llama=LlamaConfig.tiny(), latent_dim=8,
@@ -96,23 +98,68 @@ def test_grad_accumulation_equivalence():
                           gradient_accumulation_steps=1)
     tx_f = make_optimizer(tc_full)
     st_f = make_train_state(jax.tree.map(jnp.copy, params), tx_f)
-    # fold_in(rng, 0) is the per-step rng; reuse the same for both micro-steps
-    st_f, _ = train_step(st_f, cfg, tc_full, tx_f, batch, rng)
+    st_f, mf = train_step(st_f, cfg, tc_full, tx_f, batch, rng)
 
     tc_acc = TrainConfig(lr=1e-3, warmup_steps=1, total_steps=100,
                          gradient_accumulation_steps=2)
     tx_a = make_optimizer(tc_acc)
     st_a = make_train_state(jax.tree.map(jnp.copy, params), tx_a)
-    half1 = {k: v[:2] for k, v in batch.items()}
-    half2 = {k: v[2:] for k, v in batch.items()}
-    st_a, _ = train_step(st_a, cfg, tc_acc, tx_a, half1, rng)
-    # keep the same step_rng for the second micro-batch: reset step
-    st_a = st_a._replace(step=jnp.zeros((), jnp.int32))
-    st_a, _ = train_step(st_a, cfg, tc_acc, tx_a, half2, rng)
+    stacked = {k: jnp.stack([v[:2], v[2:]], axis=0) for k, v in batch.items()}
+    st_a, ma = train_step(st_a, cfg, tc_acc, tx_a, stacked, rng)
 
+    # the loss metric is the mean over microbatches == full-batch mean
+    np.testing.assert_allclose(float(mf["total_loss"]),
+                               float(ma["total_loss"]), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(st_f.params), jax.tree.leaves(st_a.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_grad_accumulation_sharded_and_stacking():
+    """Accumulated step on a dp=4 mesh through the Trainer's stacking path
+    (stack_microbatches pads mixed-bucket batches) matches single device."""
+    from kalle_tpu.data.collate import stack_microbatches
+
+    cfg = LlasaConfig(llama=LlamaConfig.tiny(), latent_dim=8,
+                      audio_proj_dim=64, head_variant="melvae")
+    tc = TrainConfig(lr=1e-3, warmup_steps=1, total_steps=100,
+                     gradient_accumulation_steps=2)
+    params = llasa.init_params(cfg, jax.random.key(3))
+    tx = make_optimizer(tc)
+    rng = jax.random.key(4)
+
+    def widen(b):
+        b["distribute_labels"] = np.concatenate(
+            [b["distribute_labels"], np.zeros_like(b["distribute_labels"])], -1)
+        return b
+
+    b1 = widen({k: np.asarray(v) for k, v in _tiny_batch(b=4, seed=21).items()})
+    # shorter items -> shorter collated T: exercises the group-max pad path
+    b2 = widen({k: np.asarray(v) for k, v in
+                _tiny_batch(b=4, seed=22, n_frames=8).items()})
+    stacked = stack_microbatches([b1, b2], pad_token_id=0)
+    assert stacked["input_ids"].shape[0] == 2
+    assert stacked["input_ids"].shape[2] == b1["input_ids"].shape[1]
+
+    jb = {k: jnp.asarray(v) for k, v in stacked.items()}
+    st_1 = make_train_state(jax.tree.map(jnp.copy, params), tx)
+    st_1, m1 = train_step(st_1, cfg, tc, tx, jb, rng)
+
+    from kalle_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+    mesh = make_mesh(dp=4, tp=2)
+    with jax.sharding.set_mesh(mesh):
+        sp = shard_params(params, mesh)
+        sb = shard_batch(jb, mesh, leading_accum=True)
+        assert sb["input_ids"].sharding.spec == jax.sharding.PartitionSpec(
+            None, "dp")
+        st_n = make_train_state(sp, tx)
+        st_n, mn = train_step(st_n, cfg, tc, tx, sb, rng)
+    np.testing.assert_allclose(float(m1["total_loss"]), float(mn["total_loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(st_1.params),
+                    jax.tree.leaves(jax.device_get(st_n.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
 
 
 def test_dp_tp_sp_sharded_step_matches_single_device():

@@ -34,7 +34,9 @@ def main():
         "b4,t1024,flash",
         "b8,t1024,flash,remat",
         "b2,t2048,flash,remat",
-    ], help="each: b<batch>,t<bucket>[,remat][,flash]")
+    ], help="each: b<batch>,t<bucket>[,remat][,flash][,a<accum>] — a<N> "
+            "stacks N microbatches (A, B, ...) through the in-step "
+            "grad-accumulation scan; tokens/step = N*b*t")
     ap.add_argument("--breakdown", action="store_true",
                     help="attribute step time per config: forward-only "
                          "(2N FLOPs/token), forward+backward (6N), full "
@@ -65,14 +67,17 @@ def main():
     from kalle_tpu.train.optim import make_optimizer
     from kalle_tpu.train.step import make_train_state, train_step
 
-    tcfg = TrainConfig(lr=1e-4, warmup_steps=10, total_steps=1000)
-    tx = make_optimizer(tcfg)
     n_params = 1.23e9  # backbone+heads (embed gather excluded from FLOPs)
 
     for spec in args.configs:
         parts = spec.split(",")
         b = int(parts[0][1:])
         t = int(parts[1][1:])
+        accum = next((int(p[1:]) for p in parts
+                      if p.startswith("a") and p[1:].isdigit()), 1)
+        tcfg = TrainConfig(lr=1e-4, warmup_steps=10, total_steps=1000,
+                           gradient_accumulation_steps=accum)
+        tx = make_optimizer(tcfg)
         remat = "remat" in parts or "dots" in parts
         flash = "flash" in parts
         if args.tiny:
@@ -97,6 +102,9 @@ def main():
                                     bucket=t)
         batch = {k: jnp.asarray(v) for k, v in batch_np.items()
                  if isinstance(v, np.ndarray)}
+        if accum > 1:
+            batch = {k: jnp.broadcast_to(v[None], (accum,) + v.shape)
+                     for k, v in batch.items()}
         rng = jax.random.key(1)
 
         try:
@@ -118,7 +126,7 @@ def main():
             print(f"{spec:28s} FAILED: {type(e).__name__}: {str(e)[:90]}",
                   flush=True)
             continue
-        toks = b * t
+        toks = accum * b * t
         flops = 6 * n_params * toks
         print(f"{spec:28s} {dt*1e3:7.1f} ms/step  {toks/dt/1e3:7.1f}k tok/s"
               f"  MFU {flops/dt/1e12/PEAK_TFLOPS*100:5.1f}%"
@@ -145,22 +153,28 @@ def main():
             fb = jax.jit(_fb)
             rows = []
             bp = state.params  # `params` was donated into the state
+            # breakdown always runs ONE microbatch (b, t); under accum the
+            # full step is ~accum x fwd+bwd + the amortized optimizer
+            bd_batch = ({k: v[0] for k, v in batch.items()} if accum > 1
+                        else batch)
+            toks_micro = b * t
             for name, fn, nflops in (("fwd", fwd, 2), ("fwd+bwd", fb, 6)):
-                out = fn(bp, batch, rng)
+                out = fn(bp, bd_batch, rng)
                 jax.tree.map(lambda x: np.asarray(x), out)  # compile+fence
                 t0 = time.perf_counter()
                 for _ in range(args.iters):
-                    out = fn(bp, batch, rng)
+                    out = fn(bp, bd_batch, rng)
                 jax.tree.map(lambda x: np.asarray(x), out)
                 d = (time.perf_counter() - t0) / args.iters
                 rows.append((name, d, nflops))
             for name, d, nf in rows:
-                mfu = nf * n_params * toks / d / 1e12 / PEAK_TFLOPS * 100
+                mfu = nf * n_params * toks_micro / d / 1e12 / PEAK_TFLOPS * 100
                 print(f"    {name:10s} {d*1e3:7.1f} ms  MFU {mfu:5.1f}%",
                       flush=True)
             fb_ms = rows[1][1] * 1e3
-            print(f"    opt+norm   {dt*1e3 - fb_ms:7.1f} ms  "
-                  f"(full step - fwd+bwd; includes the DCE-guard pass)",
+            print(f"    opt+rest   {dt*1e3 - accum * fb_ms:7.1f} ms  "
+                  f"(full step - {accum} x fwd+bwd; includes the "
+                  f"DCE-guard pass{' and accum adds' if accum > 1 else ''})",
                   flush=True)
 
 
