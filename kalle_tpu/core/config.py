@@ -61,6 +61,16 @@ class LlamaConfig:
     # mesh has a `pp` axis (parallel/pipeline.py). Per-device batch must be
     # divisible by it; bubble fraction = (pp-1)/(pp_microbatches+pp-1).
     pp_microbatches: int = 4
+    # pipeline TRAINING schedule when the mesh has a pp axis:
+    #   "gpipe" — differentiate through the forward pipeline scan
+    #             (parallel/pipeline.py); all-microbatch stage inputs live
+    #             through backward (O(M) states/stage)
+    #   "1f1b"  — hand-scheduled one-forward-one-backward
+    #             (parallel/pipeline_1f1b.py); at most `pp` stage inputs in
+    #             flight, enabling pp_microbatches >> pp, which is what
+    #             shrinks the pipeline bubble. Same loss, same grads.
+    # Inference/eval forwards always use the GPipe forward pass.
+    pp_schedule: str = "gpipe"
     # fused Pallas decode attention over the KV cache (TPU, t=1, cache_len
     # % 128 == 0 — callers round the cache up; ops/pallas/decode_attention
     # .py). Engages only for bf16 KV caches: in-step on v5e (int8 weights,

@@ -15,6 +15,7 @@ Weight import from the HF torch checkpoint is in `convert.py`.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -165,9 +166,40 @@ def embed_tokens(params: dict, input_ids: jnp.ndarray, cfg: LlamaConfig) -> jnp.
 # Forward
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
+def _megatron_fg(axis: str):
+    """Megatron's f/g conjugate operators for MANUALLY differentiated
+    shard_map bodies (parallel/pipeline_1f1b.py). Inside a shard_map body
+    `jax.vjp` blindly transposes psum -> psum, which double-counts a
+    replicated cotangent by the axis size; these custom transposes encode
+    the replication structure instead:
+      f: identity forward / psum backward — marks a replicated activation
+         entering tp-local (column-sharded) compute, so the per-shard
+         input cotangents are summed.
+      g: psum forward / identity backward — combines row-parallel partial
+         outputs; the replicated output cotangent IS each shard's partial
+         cotangent.
+    Not needed when jax.grad differentiates THROUGH the shard_map (the
+    GPipe path): the shard_map transpose machinery handles bare psums."""
+    @jax.custom_vjp
+    def f(x):
+        return x
+
+    f.defvjp(lambda x: (x, None),
+             lambda _, ct: (jax.lax.psum(ct, axis),))
+
+    @jax.custom_vjp
+    def g(x):
+        return jax.lax.psum(x, axis)
+
+    g.defvjp(lambda x: (jax.lax.psum(x, axis), None),
+             lambda _, ct: (ct,))
+    return f, g
+
+
 def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, cache_kv=None,
            cache_len=None, flash_pad_mask=None, flash_interpret=False,
-           tp_axis=None):
+           tp_axis=None, tp_megatron_vjp=False):
     """One transformer block. cache_kv: optional (k_full, v_full, li) —
     the FULL (L, b, max_len, n_kv, hd) caches plus the layer index; the new
     K/V entries are written in place at (li, :, cache_len) and attention
@@ -178,7 +210,10 @@ def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, cache_kv=None,
     holds this rank's Megatron column/row shards (heads and ffn columns
     divided by the tp size), x/mask are replicated over tp, and the
     row-parallel wo/wd matmul outputs are psum-reduced over `tp_axis`
-    before the residual adds."""
+    before the residual adds. tp_megatron_vjp: route the tp collectives
+    through the _megatron_fg custom-transpose operators — REQUIRED when the
+    caller differentiates this body with a manual jax.vjp inside shard_map
+    (the 1F1B schedule); leave False under plain jax.grad-through-shard_map."""
     dt = jnp.dtype(cfg.dtype)
     b, t, h = x.shape
     nq, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -189,7 +224,15 @@ def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, cache_kv=None,
 
     from ...ops.quant import maybe_matmul
 
-    attn_in = rms_norm(x, lp["attn_norm"].astype(dt), cfg.rms_norm_eps)
+    if tp_axis is not None and tp_megatron_vjp:
+        tp_in, psum_tp = _megatron_fg(tp_axis)
+    else:
+        tp_in = lambda y: y
+
+        def psum_tp(y):  # row-parallel partial sums -> full output
+            return y if tp_axis is None else jax.lax.psum(y, tp_axis)
+
+    attn_in = tp_in(rms_norm(x, lp["attn_norm"].astype(dt), cfg.rms_norm_eps))
     if "wqkv" in lp:
         # fused decode layout (ops.quant.fuse_decode_params): one wide
         # weight stream, split back into q/k/v — same math
@@ -204,11 +247,9 @@ def _layer(cfg: LlamaConfig, x, lp, cos, sin, mask, cache_kv=None,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    def psum_tp(y):  # row-parallel partial sums -> full output
-        return y if tp_axis is None else jax.lax.psum(y, tp_axis)
-
     def mlp(x):
-        mlp_in = rms_norm(x, lp["mlp_norm"].astype(dt), cfg.rms_norm_eps)
+        mlp_in = tp_in(rms_norm(x, lp["mlp_norm"].astype(dt),
+                                cfg.rms_norm_eps))
         if "wgu" in lp:  # fused decode layout: one gate|up stream
             gu = maybe_matmul(mlp_in, lp["wgu"])
             g, up = jnp.split(gu, 2, axis=-1)

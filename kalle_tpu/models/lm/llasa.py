@@ -112,10 +112,27 @@ def forward(
       (b,t,d or 2d); ids_mask, audio_mask, target_mask, end_mask (b,t).
     Returns dict(audio_loss, end_loss, pre_mean, ...).
     """
+    input_embed, attention_mask, latents = embed_inputs(
+        params, cfg, batch, rng=rng, latent_noise=latent_noise)
+    hidden = llama.forward(params["llama"], cfg.llama, input_embed,
+                           attention_mask, use_flash=use_flash)
+    return _head_losses(params, cfg, hidden, batch, latents)
+
+
+def embed_inputs(
+    params: dict,
+    cfg: LlasaConfig,
+    batch: Dict[str, jnp.ndarray],
+    rng: Optional[jax.Array] = None,
+    latent_noise: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Packed-row input embeddings: token embeds and projected audio
+    latents merged by elementwise masks (ref: model_sigmaVAE.py:64-74).
+    Returns (input_embed (b,t,h), attention_mask (b,t) int32, latents —
+    post-noise for the sigma variant)."""
     dt = jnp.dtype(cfg.llama.dtype)
     input_ids = batch["input_ids"]
     latents = batch["audio_latents"]
-    labels = batch["distribute_labels"]
     ids_mask = batch["ids_mask"].astype(dt)
     audio_mask = batch["audio_mask"].astype(dt)
 
@@ -135,18 +152,23 @@ def forward(
     audio_embed = audio_proj(params, latents, dt)
     input_embed = (audio_embed * audio_mask[..., None]
                    + text_embed * ids_mask[..., None])
-    attention_mask = batch["ids_mask"].astype(jnp.int32) + batch["audio_mask"].astype(jnp.int32)
+    attention_mask = (batch["ids_mask"].astype(jnp.int32)
+                      + batch["audio_mask"].astype(jnp.int32))
+    return input_embed, attention_mask, latents
 
-    hidden = llama.forward(params["llama"], cfg.llama, input_embed,
-                           attention_mask, use_flash=use_flash)
+
+def head_kl(params: dict, cfg: LlasaConfig, hidden: jnp.ndarray,
+            labels: jnp.ndarray):
+    """Distribution head + per-element KL for the configured variant.
+    `hidden` is the post-final-norm backbone output. Returns
+    (kl_elem (b,t,d), pre_mean, pre_log_scale)."""
+    dt = jnp.dtype(cfg.llama.dtype)
     head_out = distribution_head(params, hidden, dt)
-
     if cfg.head_variant == "sigma":
         mean2 = head_out
         # KL(pred || label), identical stds (ref model_sigmaVAE.py:88-92)
         kl_elem = gaussian_kl_same_std(mean2, cfg.sigma, labels)
         pre_log_scale = jnp.full_like(mean2, jnp.log(cfg.sigma))
-        extras = {"ground_truth_audio_latents": latents}
     elif cfg.head_variant == "stableaudio":
         mean2, logs2 = split_mean_scale_btd(head_out)
         std2 = jnp.exp(logs2)
@@ -154,7 +176,6 @@ def forward(
         std1 = std1 * cfg.label_std_scale  # ref model.py:87
         kl_elem = gaussian_kl(mean1, std1, mean2, std2)  # KL(label || pred)
         pre_log_scale = logs2
-        extras = {}
     elif cfg.head_variant == "melvae":
         mean2, logs2 = split_mean_scale_btd(head_out)
         std2 = jnp.exp(logs2)
@@ -162,13 +183,20 @@ def forward(
         std1 = jnp.exp(logs1)
         kl_elem = gaussian_kl(mean1, std1, mean2, std2)
         pre_log_scale = logs2
-        extras = {}
     else:
         raise ValueError(f"unknown head_variant {cfg.head_variant}")
+    return kl_elem, mean2, pre_log_scale
 
+
+def _head_losses(params: dict, cfg: LlasaConfig, hidden: jnp.ndarray,
+                 batch: Dict[str, jnp.ndarray], latents: jnp.ndarray):
+    kl_elem, mean2, pre_log_scale = head_kl(
+        params, cfg, hidden, batch["distribute_labels"])
     audio_loss, end_loss = masked_frame_loss(
         kl_elem, cfg.latent_dim, batch["target_mask"], batch["end_mask"]
     )
+    extras = ({"ground_truth_audio_latents": latents}
+              if cfg.head_variant == "sigma" else {})
     return {
         "audio_loss": audio_loss,
         "end_loss": end_loss,

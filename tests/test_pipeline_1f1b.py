@@ -1,0 +1,149 @@
+"""1F1B pipeline schedule (parallel/pipeline_1f1b.py): loss and gradient
+parity with the plain (non-pipelined) path on the virtual CPU mesh.
+
+The schedule is a hand-written fwd+bwd (custom_vjp), so these tests are the
+whole correctness story: every layer/head/embed gradient must match the
+single-device autodiff grads, including with M > S microbatches (the 1F1B
+memory case) and under pp x tp composition.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kalle_tpu.core.config import LlamaConfig, LlasaConfig, TrainConfig
+from kalle_tpu.models.lm import llasa
+from kalle_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+from kalle_tpu.train.optim import make_optimizer
+from kalle_tpu.train.step import loss_fn, make_train_state, train_step
+
+
+def _cfg(pp_microbatches=2, head_variant="sigma"):
+    llama = dataclasses.replace(LlamaConfig.tiny(vocab_size=512),
+                                num_layers=4,
+                                pp_microbatches=pp_microbatches,
+                                pp_schedule="1f1b")
+    return LlasaConfig(llama=llama, latent_dim=8, audio_proj_dim=64,
+                       head_variant=head_variant)
+
+
+def _batch(cfg, b=4, seed=0):
+    from __graft_entry__ import _synthetic_batch
+
+    batch_np = _synthetic_batch(cfg, b=b, text_len=6, audio_len=10, bucket=32,
+                                seed=seed)
+    return {k: jnp.asarray(v) for k, v in batch_np.items()
+            if isinstance(v, np.ndarray)}
+
+
+def _ref_loss_and_grads(cfg, tcfg, params, batch, rng):
+    # no ambient pp mesh -> loss_fn takes the plain llasa.forward path
+    val_grad = jax.value_and_grad(
+        lambda p, b: loss_fn(p, cfg, tcfg, b, rng)[0])
+    return val_grad(params, batch)
+
+
+@pytest.mark.parametrize("dp,pp,mb", [(2, 2, 2), (1, 4, 2), (1, 2, 4)])
+def test_1f1b_grads_match_plain(dp, pp, mb):
+    """(1, 2, 4) is the 1F1B case proper: M=4 microbatches through S=2
+    stages — more microbatches in flight than the ring can hold at once."""
+    cfg = _cfg(pp_microbatches=mb)
+    tcfg = TrainConfig(lr=1e-3, warmup_steps=2, total_steps=10)
+    params = llasa.init_params(cfg, jax.random.key(0))
+    batch = _batch(cfg)
+    rng = jax.random.key(1)
+
+    ref_loss, ref_grads = _ref_loss_and_grads(cfg, tcfg, params, batch, rng)
+
+    mesh = make_mesh(dp=dp, pp=pp, devices=jax.devices()[: dp * pp])
+    with jax.sharding.set_mesh(mesh):
+        sp = shard_params(params, mesh, pp=True)
+        sb = shard_batch(batch, mesh)
+        val_grad = jax.jit(jax.value_and_grad(
+            lambda p, b: loss_fn(p, cfg, tcfg, b, rng)[0]))
+        loss, grads = val_grad(sp, sb)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    flat_r, tree_r = jax.tree.flatten_with_path(ref_grads)
+    flat_p, _ = jax.tree.flatten(grads)
+    for (path, r), p in zip(flat_r, flat_p):
+        np.testing.assert_allclose(
+            np.asarray(p), np.asarray(r), atol=2e-4, rtol=1e-3,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_1f1b_metrics_match_plain():
+    cfg = _cfg(pp_microbatches=2)
+    tcfg = TrainConfig(lr=1e-3, warmup_steps=2, total_steps=10)
+    params = llasa.init_params(cfg, jax.random.key(0))
+    batch = _batch(cfg)
+    rng = jax.random.key(1)
+
+    _, ref_m = loss_fn(params, cfg, tcfg, batch, rng)
+
+    mesh = make_mesh(dp=2, pp=2, devices=jax.devices()[:4])
+    with jax.sharding.set_mesh(mesh):
+        sp = shard_params(params, mesh, pp=True)
+        sb = shard_batch(batch, mesh)
+        _, m = jax.jit(lambda p, b: loss_fn(p, cfg, tcfg, b, rng))(sp, sb)
+
+    for k in ("total_loss", "audio_loss", "end_loss"):
+        np.testing.assert_allclose(float(m[k]), float(ref_m[k]), rtol=1e-5,
+                                   err_msg=k)
+
+
+def test_1f1b_tp_grads_match_plain():
+    """pp x tp: layer weights Megatron-sharded inside each 1F1B stage, the
+    activation psums (llama._layer tp_axis) running inside the hand
+    scheduler's vjp."""
+    cfg = _cfg(pp_microbatches=2)
+    tcfg = TrainConfig(lr=1e-3, warmup_steps=2, total_steps=10)
+    params = llasa.init_params(cfg, jax.random.key(0))
+    batch = _batch(cfg)
+    rng = jax.random.key(1)
+
+    ref_loss, ref_grads = _ref_loss_and_grads(cfg, tcfg, params, batch, rng)
+
+    mesh = make_mesh(dp=2, pp=2, tp=2, devices=jax.devices()[:8])
+    with jax.sharding.set_mesh(mesh):
+        sp = shard_params(params, mesh, pp=True)
+        sb = shard_batch(batch, mesh)
+        val_grad = jax.jit(jax.value_and_grad(
+            lambda p, b: loss_fn(p, cfg, tcfg, b, rng)[0]))
+        loss, grads = val_grad(sp, sb)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    flat_r, _ = jax.tree.flatten_with_path(ref_grads)
+    flat_p, _ = jax.tree.flatten(grads)
+    for (path, r), p in zip(flat_r, flat_p):
+        np.testing.assert_allclose(
+            np.asarray(p), np.asarray(r), atol=2e-4, rtol=1e-3,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_1f1b_train_step_loss_matches_gpipe():
+    """End-to-end train_step: the 1F1B schedule and the GPipe autodiff path
+    produce the same loss metric on the same mesh."""
+    tcfg = TrainConfig(lr=1e-3, warmup_steps=2, total_steps=10)
+    params = llasa.init_params(_cfg(), jax.random.key(0))
+    tx = make_optimizer(tcfg)
+    batch = _batch(_cfg())
+    rng = jax.random.key(1)
+
+    losses = {}
+    for sched in ("gpipe", "1f1b"):
+        cfg = _cfg()
+        cfg = dataclasses.replace(
+            cfg, llama=dataclasses.replace(cfg.llama, pp_schedule=sched))
+        mesh = make_mesh(dp=2, pp=2, devices=jax.devices()[:4])
+        with jax.sharding.set_mesh(mesh):
+            st = make_train_state(
+                shard_params(jax.tree.map(jnp.copy, params), mesh, pp=True),
+                tx)
+            _, m = train_step(st, cfg, tcfg, tx, shard_batch(batch, mesh),
+                              rng)
+            losses[sched] = float(m["total_loss"])
+
+    np.testing.assert_allclose(losses["1f1b"], losses["gpipe"], rtol=1e-5)
