@@ -71,6 +71,13 @@ class LlamaConfig:
     #             shrinks the pipeline bubble. Same loss, same grads.
     # Inference/eval forwards always use the GPipe forward pass.
     pp_schedule: str = "gpipe"
+    # unroll factor for the training-forward layer scan (llama.forward).
+    # 1 = rolled while-loop (one compiled layer body, smallest compile).
+    # num_layers = fully unrolled straight-line layers: the backward's
+    # per-layer dW writes and residual saves become plain fusion outputs
+    # instead of dynamic-update-slice writes into (L, ...) stacks (profiled
+    # at ~80 GB/s effective on v5e — a layout-converting bitcast+DUS).
+    scan_unroll: int = 1
     # fused Pallas decode attention over the KV cache (TPU, t=1, cache_len
     # % 128 == 0 — callers round the cache up; ops/pallas/decode_attention
     # .py). Engages only for bf16 KV caches: in-step on v5e (int8 weights,

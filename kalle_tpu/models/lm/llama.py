@@ -393,7 +393,7 @@ def forward(
 
     if cfg.remat:
         body = jax.checkpoint(body, policy=_remat_policy(cfg))
-    x, _ = jax.lax.scan(body, x, params["layers"])
+    x, _ = jax.lax.scan(body, x, params["layers"], unroll=cfg.scan_unroll)
     return rms_norm(x, params["final_norm"].astype(dt), cfg.rms_norm_eps)
 
 

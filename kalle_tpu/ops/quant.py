@@ -1,4 +1,4 @@
-"""Int8 weight-only quantization for the memory-bound decode path.
+"""Int8 / int4 weight-only quantization for the memory-bound decode path.
 
 AR decode reads every weight once per generated frame; on v5e the step time
 is HBM-bandwidth-bound (~2.5 GB bf16 for the 1B flagship). Per-output-
@@ -6,8 +6,17 @@ channel absmax int8 halves the traffic; the scale multiplies the matmul
 OUTPUT (x @ w_q) * scale == x @ (w_q * scale), so XLA keeps the weights
 int8 in HBM and fuses the convert into the dot.
 
+int4 (XLA S4, native on TPU) quarters the weight traffic. Per-output-
+channel scales are too coarse at 4 bits, so int4 uses GROUP-WISE scales
+along the contraction dim (`group` inputs share one scale per output
+column, GPTQ/AWQ-style): y[o] = sum_g s[g,o] * (sum_i x[g,i] q[g,i,o]) —
+the inner contraction stays an int4->bf16 fused dot per group and the
+group weighting is a cheap (..., n_groups, out) reduction.
+
 Quality: weight-only int8 with per-channel scales is transparent for
-generation-quality purposes (activations stay bf16).
+generation-quality purposes; int4 g128 adds a few-percent per-matmul error
+— gate it with the trained-model decode-quality test before enabling in
+production (tests/test_quant.py pattern).
 """
 from __future__ import annotations
 
@@ -27,21 +36,49 @@ def quantize_weight(w: jnp.ndarray):
     return {"q": q, "scale": scale.astype(jnp.float32)}
 
 
+def quantize_weight_int4(w: jnp.ndarray, group: int = 128):
+    """(in, out) -> {'q': int4 (in, out), 'scale': f32 (in//group, out)}."""
+    i, o = w.shape
+    assert i % group == 0, (i, group)
+    wg = w.reshape(i // group, group, o)
+    absmax = jnp.max(jnp.abs(wg), axis=1)  # (n_groups, out)
+    scale = jnp.maximum(absmax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wg / scale[:, None, :]), -7, 7)
+    return {"q": q.reshape(i, o).astype(jnp.int4),
+            "scale": scale.astype(jnp.float32)}
+
+
 def qmatmul(x: jnp.ndarray, wq: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-    """x (..., in) @ int8 weight -> (..., out) in x.dtype."""
-    y = jnp.dot(x, wq["q"].astype(x.dtype),
-                preferred_element_type=jnp.float32)
-    return (y * wq["scale"]).astype(x.dtype)
+    """x (..., in) @ quantized weight -> (..., out) in x.dtype.
+    Per-channel (int8: scale (out,)) or group-wise (int4: scale
+    (in//group, out)) — dispatched on the scale rank."""
+    q, scale = wq["q"], wq["scale"]
+    if scale.ndim == q.ndim:  # group-wise (int4)
+        i, o = q.shape
+        ng = scale.shape[0]
+        g = i // ng
+        xg = x.reshape(x.shape[:-1] + (ng, g))
+        qg = q.reshape(ng, g, o).astype(x.dtype)
+        # per-group int->bf16 fused dots, then the group-weighted sum
+        part = jnp.einsum("...gi,gio->...go", xg, qg,
+                          preferred_element_type=jnp.float32)
+        return (part * scale).sum(axis=-2).astype(x.dtype)
+    y = jnp.dot(x, q.astype(x.dtype), preferred_element_type=jnp.float32)
+    return (y * scale).astype(x.dtype)
 
 
 def is_quantized(p: Any) -> bool:
     return isinstance(p, dict) and "q" in p and "scale" in p
 
 
-def quantize_llama_params(params: dict) -> dict:
+def quantize_llama_params(params: dict, bits: int = 8,
+                          group: int = 128) -> dict:
     """Quantize the big per-layer matrices of a Llasa/llama param tree
     (leading L axis preserved). Embeddings/norms/heads stay dense.
-    Accepts either a Llasa tree ({'llama': ...}) or a bare llama tree."""
+    Accepts either a Llasa tree ({'llama': ...}) or a bare llama tree.
+    bits=8: per-output-channel scales; bits=4: group-wise scales over
+    `group` contraction inputs (int4 needs the finer granularity)."""
+    assert bits in (8, 4), bits
     bare = "llama" not in params
     if bare:
         params = {"llama": params}
@@ -49,10 +86,21 @@ def quantize_llama_params(params: dict) -> dict:
     layers = dict(out["llama"]["layers"])
     for k in QUANT_KEYS:
         w = layers[k]  # (L, in, out)
-        absmax = jnp.max(jnp.abs(w), axis=1)  # (L, out)
-        scale = jnp.maximum(absmax, 1e-8) / 127.0
-        q = jnp.clip(jnp.round(w / scale[:, None, :]), -127, 127).astype(jnp.int8)
-        layers[k] = {"q": q, "scale": scale.astype(jnp.float32)}
+        if bits == 4:
+            L, i, o = w.shape
+            grp = min(group, i)
+            wg = w.reshape(L, i // grp, grp, o)
+            absmax = jnp.max(jnp.abs(wg), axis=2)  # (L, n_groups, out)
+            scale = jnp.maximum(absmax, 1e-8) / 7.0
+            q = jnp.clip(jnp.round(wg / scale[:, :, None, :]), -7, 7)
+            layers[k] = {"q": q.reshape(L, i, o).astype(jnp.int4),
+                         "scale": scale.astype(jnp.float32)}
+        else:
+            absmax = jnp.max(jnp.abs(w), axis=1)  # (L, out)
+            scale = jnp.maximum(absmax, 1e-8) / 127.0
+            q = jnp.clip(jnp.round(w / scale[:, None, :]),
+                         -127, 127).astype(jnp.int8)
+            layers[k] = {"q": q, "scale": scale.astype(jnp.float32)}
     out["llama"] = dict(out["llama"])
     out["llama"]["layers"] = layers
     return out["llama"] if bare else out

@@ -25,6 +25,44 @@ def test_qmatmul_close_to_dense():
     assert err.mean() < 0.05  # few-percent per-matmul error for int8
 
 
+def test_int4_qmatmul_close_to_dense():
+    from kalle_tpu.ops.quant import quantize_weight_int4
+
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.normal(size=(256, 32)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(4, 256)), jnp.float32)
+    wq = quantize_weight_int4(w, group=128)
+    assert wq["q"].dtype == jnp.int4
+    assert wq["scale"].shape == (2, 32)
+    dense = np.asarray(x @ w)
+    quant = np.asarray(qmatmul(x, wq))
+    # iid-gaussian w/x is the WORST case for weight quant (no structure to
+    # exploit, dot outputs ~N(0, in) while quant noise grows with sqrt(in)):
+    # int4 g128 sits at ~12% RMS here; the trained-model decode gate below
+    # is the real quality criterion
+    rel_rms = np.linalg.norm(quant - dense) / np.linalg.norm(dense)
+    assert rel_rms < 0.2, rel_rms
+
+
+def test_int4_groupwise_beats_perchannel_int4():
+    """The reason int4 carries group-wise scales: per-channel int4 on the
+    same matrix is measurably worse."""
+    from kalle_tpu.ops.quant import quantize_weight_int4
+
+    rng = np.random.default_rng(8)
+    w = jnp.asarray(rng.normal(size=(512, 32)) *
+                    (1 + 3 * rng.random((512, 1))), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(8, 512)), jnp.float32)
+    dense = np.asarray(x @ w)
+
+    grouped = np.asarray(qmatmul(x, quantize_weight_int4(w, group=128)))
+    # per-channel int4 = one group spanning the whole contraction dim
+    chan = np.asarray(qmatmul(x, quantize_weight_int4(w, group=512)))
+    err_g = np.abs(grouped - dense).mean()
+    err_c = np.abs(chan - dense).mean()
+    assert err_g < err_c, (err_g, err_c)
+
+
 def test_quantized_llama_forward_close():
     cfg = LlamaConfig.tiny()
     params = llama.init_params(cfg, jax.random.key(0))
@@ -96,6 +134,13 @@ def test_int8_decode_quality_on_trained_model():
     mse_int8 = float(np.mean((int8[:n_frames] - lat) ** 2))
     assert mse_int8 < 2.0 * mse_dense + 0.02 * sig, (mse_int8, mse_dense)
 
+    # int4 g128 (same trained weights): looser but still signal-faithful
+    int4 = decode(quantize_llama_params(state.params, bits=4))
+    dev4 = float(np.mean((dense - int4) ** 2))
+    assert dev4 < 0.06 * sig, (dev4, sig)
+    mse_int4 = float(np.mean((int4[:n_frames] - lat) ** 2))
+    assert mse_int4 < 3.0 * mse_dense + 0.06 * sig, (mse_int4, mse_dense)
+
 
 def test_fused_decode_params_exact_parity():
     """fuse_decode_params (wqkv / wgu concat) is exactly equivalent math:
@@ -109,7 +154,8 @@ def test_fused_decode_params_exact_parity():
     mask = jnp.ones((2, 16), jnp.int32)
     emb = llama.embed_tokens(params, ids, cfg)
 
-    for tree in (params, quantize_llama_params(params)):
+    for tree in (params, quantize_llama_params(params),
+                 quantize_llama_params(params, bits=4)):
         fused = fuse_decode_params(tree)
         assert "wq" not in fused["layers"] and "wqkv" in fused["layers"]
         ref = np.asarray(llama.forward(tree, cfg, emb, mask))

@@ -40,6 +40,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--int4", action="store_true",
+                    help="int4 g128 weight-only (group-wise scales; "
+                         "quarter weight traffic)")
     ap.add_argument("--fused", action="store_true",
                     help="fused wqkv/wgu decode weight layout")
     ap.add_argument("--int8-kv", action="store_true",
@@ -74,7 +77,9 @@ def main():
     B, STEPS = args.batch, args.steps
     params = llasa.init_params(cfg, jax.random.key(0))
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
-    if args.int8:
+    if args.int4:
+        params = quantize_llama_params(params, bits=4)
+    elif args.int8:
         params = quantize_llama_params(params)
     if args.fused:
         params = fuse_decode_params(params)
@@ -85,7 +90,8 @@ def main():
         return sum(x.nbytes for x in jax.tree.leaves(t))
 
     stream_gb = wbytes(layers) / 1e9
-    print(f"batch={B} int8={args.int8} streamed weights {stream_gb:.2f} GB "
+    print(f"batch={B} int8={args.int8} int4={args.int4} "
+          f"streamed weights {stream_gb:.2f} GB "
           f"(+embed {params['llama']['embed'].nbytes/1e9:.2f} GB gathered)")
 
     # ---- weights-only floor ----------------------------------------------

@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--int8-kv", action="store_true",
                     help="int8 KV cache with per-(token, head) scales: "
                          "half the cache memory (2x batch/context)")
+    ap.add_argument("--int4", action="store_true",
+                    help="int4 g128 weight-only LM decode (group-wise "
+                         "scales, quarter weight traffic; run the quality "
+                         "gate on YOUR checkpoint before enabling)")
     ap.add_argument("--int8", action="store_true",
                     help="int8 weight-only LM decode (quality-gated by "
                          "tests/test_quant.py on a trained model)")
@@ -84,10 +88,10 @@ def main():
     else:
         print("WARNING: no checkpoint given — random init (smoke mode)")
         params = llasa.init_params(cfg, jax.random.key(0))
-    if args.int8:
+    if args.int8 or args.int4:
         from kalle_tpu.ops.quant import quantize_llama_params
 
-        params = quantize_llama_params(params)
+        params = quantize_llama_params(params, bits=4 if args.int4 else 8)
     if args.fused:
         from kalle_tpu.ops.quant import fuse_decode_params
 

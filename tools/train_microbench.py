@@ -34,9 +34,10 @@ def main():
         "b4,t1024,flash",
         "b8,t1024,flash,remat",
         "b2,t2048,flash,remat",
-    ], help="each: b<batch>,t<bucket>[,remat][,flash][,a<accum>] — a<N> "
-            "stacks N microbatches (A, B, ...) through the in-step "
-            "grad-accumulation scan; tokens/step = N*b*t")
+    ], help="each: b<batch>,t<bucket>[,remat][,flash][,a<accum>][,u<unroll>]"
+            " — a<N> stacks N microbatches (A, B, ...) through the in-step "
+            "grad-accumulation scan (tokens/step = N*b*t); u<N> unrolls "
+            "the layer scan (scan_unroll)")
     ap.add_argument("--breakdown", action="store_true",
                     help="attribute step time per config: forward-only "
                          "(2N FLOPs/token), forward+backward (6N), full "
@@ -75,6 +76,8 @@ def main():
         t = int(parts[1][1:])
         accum = next((int(p[1:]) for p in parts
                       if p.startswith("a") and p[1:].isdigit()), 1)
+        unroll = next((int(p[1:]) for p in parts
+                       if p.startswith("u") and p[1:].isdigit()), 1)
         tcfg = TrainConfig(lr=1e-4, warmup_steps=10, total_steps=1000,
                            gradient_accumulation_steps=accum)
         tx = make_optimizer(tcfg)
@@ -93,7 +96,8 @@ def main():
         cfg = dataclasses.replace(
             cfg, llama=dataclasses.replace(
                 cfg.llama, remat=remat, use_flash_attention=flash,
-                remat_policy="dots" if "dots" in parts else "full"))
+                remat_policy="dots" if "dots" in parts else "full",
+                scan_unroll=unroll))
 
         params = llasa.init_params(cfg, jax.random.key(0))
         params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
