@@ -187,9 +187,45 @@ def prune_spec(spec: P, axis_names) -> P:
     return P(*out)
 
 
+def _quant_scale_spec(wspec: P, scale_ndim: int) -> P:
+    """Spec for a quantization scale leaf given its weight's spec.
+    Group-wise scales (ops.quant int4: same rank as w, the contraction dim
+    replaced by n_groups) inherit the weight spec — row-parallel weights
+    shard their groups over tp; per-channel scales (int8: one rank lower,
+    contraction dim dropped) drop the spec's second-to-last element."""
+    if scale_ndim == len(wspec):
+        return wspec
+    els = list(wspec)
+    del els[-2]
+    return P(*els)
+
+
 def shard_params(params: dict, mesh: Mesh, fsdp: bool = False,
                  pp: bool = False) -> dict:
     specs = param_pspecs(params, fsdp=fsdp, pp=pp)
+    from ..ops.quant import is_quantized
+
+    def _divisible(spec: P, shape, mesh_) -> P:
+        # drop spec entries whose mesh extent doesn't divide the dim (e.g.
+        # a tiny model's single int4 group can't shard over tp)
+        sizes = dict(zip(mesh_.axis_names, mesh_.devices.shape))
+        out = []
+        for el, dim in zip(spec, shape):
+            n = (1 if el is None else
+                 int(np.prod([sizes.get(a, 1) for a in
+                              (el if isinstance(el, tuple) else (el,))])))
+            out.append(el if n and dim % n == 0 else None)
+        return P(*out)
+
+    # quantized leaves ({'q','scale'}, ops.quant) expand the dense weight
+    # spec: q shards exactly like the dense weight, the scale follows
+    specs = jax.tree.map(
+        lambda p, s: ({"q": s,
+                       "scale": _divisible(
+                           _quant_scale_spec(s, p["scale"].ndim),
+                           p["scale"].shape, mesh)}
+                      if is_quantized(p) else s),
+        params, specs, is_leaf=is_quantized)
     names = set(mesh.axis_names)
     return jax.device_put(
         params, jax.tree.map(

@@ -89,3 +89,43 @@ def test_tp_sharded_batcher_int8_kv():
         assert got[i].n_frames == ref[i].n_frames
         np.testing.assert_allclose(got[i].means, ref[i].means,
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_tp_sharded_batcher_quantized_weights():
+    """int8 (per-channel scales) and int4 (group-wise scales) weight trees
+    shard over dp x tp (mesh._quant_scale_spec) and the sharded batcher
+    reproduces the single-device quantized decode."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from kalle_tpu.ops.quant import quantize_llama_params
+
+    for bits in (8, 4):
+        cfg, params, prompts = _setup()
+        qparams = quantize_llama_params(params, bits=bits)
+        ref = _run(qparams, cfg, prompts)
+
+        mesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
+        sharded = shard_params(qparams, mesh)
+        wq = sharded["llama"]["layers"]["wq"]
+        assert wq["q"].sharding.is_equivalent_to(
+            NamedSharding(mesh, P(None, None, "tp")), wq["q"].ndim)
+        exp_scale = (P(None, None, "tp") if bits == 4  # (L, n_groups, out)
+                     else P(None, "tp"))               # (L, out)
+        assert wq["scale"].sharding.is_equivalent_to(
+            NamedSharding(mesh, exp_scale), wq["scale"].ndim)
+        # row-parallel wo: int4 groups live on the contraction dim -> tp,
+        # but the tiny model has a single group (in=64 < 128) which can't
+        # split over tp=2 — the divisibility fallback replicates it
+        wo = sharded["llama"]["layers"]["wo"]
+        exp_wo_scale = (P(None, None, None) if bits == 4
+                        else P(None, None))
+        assert wo["scale"].sharding.is_equivalent_to(
+            NamedSharding(mesh, exp_wo_scale), wo["scale"].ndim)
+
+        got = _run(sharded, cfg, prompts, mesh=mesh)
+        assert sorted(got) == sorted(ref)
+        for i in ref:
+            assert got[i].n_frames == ref[i].n_frames, (bits, i)
+            np.testing.assert_allclose(got[i].means, ref[i].means,
+                                       rtol=2e-3, atol=2e-4,
+                                       err_msg=f"bits={bits} row={i}")
