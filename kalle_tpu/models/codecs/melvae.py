@@ -502,16 +502,30 @@ def flow(params, cfg: MelVAEConfig, z: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def forward(params, cfg: MelVAEConfig, wav: jnp.ndarray, rng: jax.Array):
+def forward(params, cfg: MelVAEConfig, wav: jnp.ndarray, rng: jax.Array,
+            freeze_encoder: bool = False, latent_mask_ratio: float = 0.0):
     """Training forward (flows.py:457-493): encode -> sample -> flow(z) ->
     decode. Returns (wav_hat, (z_p, m_q, logs_q)) — the posterior mean is
-    returned directly so the KL term never re-runs the encoder."""
+    returned directly so the KL term never re-runs the encoder.
+
+    freeze_encoder: stop gradients at the encoder output (the reference's
+    encoder_freeze_on_warmup — post-warmup only the decoder adapts to the
+    adversarial phase, ref autoencoders.py:243-247). latent_mask_ratio:
+    randomly zero that fraction of latents before DECODE only (noise
+    resistance, ref autoencoders.py:260-263; the KL/flow see unmasked z)."""
     x = jnp.transpose(wav, (0, 2, 1))
     enc = _encoder_nwc(params["encoder"], cfg, x)
+    if freeze_encoder:
+        enc = jax.lax.stop_gradient(enc)
     m_q, logs_q = enc[..., :cfg.latent_dim], enc[..., cfg.latent_dim:]
     z = m_q + jax.random.normal(rng, m_q.shape, m_q.dtype) * jnp.exp(logs_q)
     z_p = _flow_nwc(params, cfg, z, reverse=False)
-    y = _decoder_nwc(params, cfg, z)
+    z_dec = z
+    if latent_mask_ratio > 0.0:
+        keep = jax.random.uniform(jax.random.fold_in(rng, 1),
+                                  z.shape) >= latent_mask_ratio
+        z_dec = jnp.where(keep, z, jnp.zeros_like(z))
+    y = _decoder_nwc(params, cfg, z_dec)
     return (jnp.transpose(y, (0, 2, 1)),
             (jnp.transpose(z_p, (0, 2, 1)),
              jnp.transpose(m_q, (0, 2, 1)),

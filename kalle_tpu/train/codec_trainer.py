@@ -35,6 +35,10 @@ class CodecTrainState(NamedTuple):
     gen_opt: optax.OptState
     disc_opt: optax.OptState
     step: jnp.ndarray
+    # EMA copy of gen_params (None = disabled). The reference keeps an EMA
+    # autoencoder for eval/export (ema_pytorch, beta=0.9999, power=3/4,
+    # ref autoencoders.py:192-206); updated every generator step.
+    gen_ema: dict = None
 
 
 class LossWeights(NamedTuple):
@@ -70,22 +74,46 @@ def make_codec_optimizer(lr: float = 1e-4, betas=(0.8, 0.99),
     return optax.adamw(sched, b1=betas[0], b2=betas[1])
 
 
-def make_state(gen_params, disc_params, gen_tx, disc_tx) -> CodecTrainState:
+def make_state(gen_params, disc_params, gen_tx, disc_tx,
+               use_ema: bool = False) -> CodecTrainState:
     return CodecTrainState(gen_params, disc_params, gen_tx.init(gen_params),
                            disc_tx.init(disc_params),
-                           jnp.zeros((), jnp.int32))
+                           jnp.zeros((), jnp.int32),
+                           gen_ema=(jax.tree.map(jnp.copy, gen_params)
+                                    if use_ema else None))
 
 
-def _reconstruct(kind: str, cfg, params, wav, rng):
-    """-> (wav_hat, kl_loss). wav (B, 1, T)."""
+def ema_decay(step, beta: float = 0.9999, power: float = 0.75):
+    """ema_pytorch's power-decay schedule (the reference's EMA settings,
+    ref autoencoders.py:198-205): d(t) = clip(1 - (1+t)^-power, 0, beta) —
+    fast tracking early, -> beta asymptotically."""
+    t = jnp.maximum(step.astype(jnp.float32), 0.0)
+    return jnp.clip(1.0 - (1.0 + t) ** -power, 0.0, beta)
+
+
+def _reconstruct(kind: str, cfg, params, wav, rng,
+                 freeze_encoder: bool = False,
+                 latent_mask_ratio: float = 0.0):
+    """-> (wav_hat, kl_loss). wav (B, 1, T). freeze_encoder stops gradients
+    at the encoder output (encoder_freeze_on_warmup); latent_mask_ratio
+    randomly zeros that fraction of latents before decode (both ref
+    autoencoders.py:243-263)."""
     if kind == "melvae":
-        wav_hat, (_, m_q, logs_q) = melvae.forward(params, cfg, wav, rng)
+        wav_hat, (_, m_q, logs_q) = melvae.forward(
+            params, cfg, wav, rng, freeze_encoder=freeze_encoder,
+            latent_mask_ratio=latent_mask_ratio)
         kl = vae_kl_loss(jnp.transpose(m_q, (0, 2, 1)),
                          jnp.transpose(logs_q, (0, 2, 1)))
         return wav_hat, kl
     if kind == "sigma":
         z = sigmavae.encode(params, cfg, wav)
+        if freeze_encoder:
+            z = jax.lax.stop_gradient(z)
         z_noised = z + cfg.sigma * jax.random.normal(rng, z.shape, z.dtype)
+        if latent_mask_ratio > 0.0:
+            keep = jax.random.uniform(jax.random.fold_in(rng, 1),
+                                      z.shape) >= latent_mask_ratio
+            z_noised = jnp.where(keep, z_noised, jnp.zeros_like(z_noised))
         wav_hat = sigmavae.decode(params, cfg, z_noised)
         # sigma-VAE regularizer: E||mean||^2 (fixed variance)
         kl = jnp.mean(z * z)
@@ -95,11 +123,14 @@ def _reconstruct(kind: str, cfg, params, wav, rng):
 
 @functools.partial(jax.jit, static_argnames=("kind", "cfg", "dcfg", "gen_tx",
                                              "weights", "warmup_steps",
-                                             "gan_on", "resolutions"))
+                                             "gan_on", "resolutions",
+                                             "freeze_encoder",
+                                             "latent_mask_ratio"))
 def generator_step(state: CodecTrainState, kind: str, cfg, dcfg, gen_tx,
                    weights: LossWeights, wav: jnp.ndarray, rng: jax.Array,
                    warmup_steps: int = 0, gan_on: bool = True,
-                   resolutions=None
+                   resolutions=None, freeze_encoder: bool = False,
+                   latent_mask_ratio: float = 0.0
                    ) -> Tuple[CodecTrainState, Dict[str, jnp.ndarray]]:
     """One generator update. Adversarial + feature-matching terms are zero
     until ``state.step >= warmup_steps`` (reference semantics:
@@ -123,7 +154,9 @@ def generator_step(state: CodecTrainState, kind: str, cfg, dcfg, gen_tx,
     mr_kw = {} if resolutions is None else {"resolutions": resolutions}
 
     def loss_fn(gp):
-        wav_hat, kl = _reconstruct(kind, cfg, gp, wav, rng)
+        wav_hat, kl = _reconstruct(kind, cfg, gp, wav, rng,
+                                   freeze_encoder=freeze_encoder,
+                                   latent_mask_ratio=latent_mask_ratio)
         T = min(wav.shape[-1], wav_hat.shape[-1])
         x, y = wav_hat[..., :T], wav[..., :T]
         mr = multi_resolution_stft_loss(x[:, 0], y[:, 0], **mr_kw)
@@ -146,8 +179,13 @@ def generator_step(state: CodecTrainState, kind: str, cfg, dcfg, gen_tx,
         state.gen_params)
     updates, gen_opt = gen_tx.update(grads, state.gen_opt, state.gen_params)
     gen_params = optax.apply_updates(state.gen_params, updates)
+    gen_ema = state.gen_ema
+    if gen_ema is not None:  # static: None means EMA disabled
+        d = ema_decay(state.step)
+        gen_ema = jax.tree.map(lambda e, p: e + (1.0 - d) * (p - e),
+                               gen_ema, gen_params)
     return state._replace(gen_params=gen_params, gen_opt=gen_opt,
-                          step=state.step + 1), metrics
+                          gen_ema=gen_ema, step=state.step + 1), metrics
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "cfg", "dcfg", "disc_tx"))

@@ -160,3 +160,105 @@ def test_inverse_lr_matches_reference():
         want = ref._get_closed_form_lr()[0]
         got = float(ours(step))
         np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def _tiny_setup(use_ema=False):
+    cfg = SigmaVAEConfig.tiny()
+    dcfg = disc.DiscriminatorConfig.tiny()
+    gen_tx = optax.adam(1e-3)
+    disc_tx = optax.adam(1e-3)
+    state = make_state(init_params(cfg, jax.random.key(0)),
+                       disc.init_params(dcfg, jax.random.key(1)),
+                       gen_tx, disc_tx, use_ema=use_ema)
+    rng = np.random.default_rng(5)
+    wav = jnp.asarray(rng.normal(size=(2, 1, 2048)) * 0.3, jnp.float32)
+    return cfg, dcfg, gen_tx, disc_tx, state, wav
+
+
+def test_ema_tracks_generator():
+    """gen_ema lerps toward gen_params with the ema_pytorch power schedule
+    (ref autoencoders.py:198-205): early steps track fast (small decay), and
+    after an update EMA sits strictly between its old value and the new
+    params."""
+    from kalle_tpu.train.codec_trainer import ema_decay
+
+    # schedule shape: d(0)=0 (full copy), grows toward beta
+    assert float(ema_decay(jnp.int32(0))) == 0.0
+    d10 = float(ema_decay(jnp.int32(10)))
+    d1000 = float(ema_decay(jnp.int32(1000)))
+    assert 0.0 < d10 < d1000 < 0.9999
+
+    cfg, dcfg, gen_tx, disc_tx, state, wav = _tiny_setup(use_ema=True)
+    w = LossWeights(adv=0.0, fm=0.0)
+    s1, _ = generator_step(state, "sigma", cfg, dcfg, gen_tx, w, wav,
+                           jax.random.key(2), gan_on=False)
+    # step 0: decay 0 -> EMA equals the updated params (up to the lerp's
+    # float re-association e + (p - e))
+    for e, p in zip(jax.tree.leaves(s1.gen_ema), jax.tree.leaves(s1.gen_params)):
+        np.testing.assert_allclose(np.asarray(e), np.asarray(p),
+                                   rtol=1e-5, atol=1e-7)
+    s2, _ = generator_step(s1, "sigma", cfg, dcfg, gen_tx, w, wav,
+                           jax.random.key(2), gan_on=False)
+    moved = updated = 0
+    for e0, e2, p2 in zip(jax.tree.leaves(s1.gen_ema),
+                          jax.tree.leaves(s2.gen_ema),
+                          jax.tree.leaves(s2.gen_params)):
+        e0, e2, p2 = map(np.asarray, (e0, e2, p2))
+        if not np.allclose(e0, p2):
+            updated += 1
+            # EMA moved from its old value toward the new params
+            assert not np.allclose(e2, e0)
+            assert np.abs(e2 - p2).mean() <= np.abs(e0 - p2).mean() + 1e-12
+            moved += 1
+    assert updated and moved
+
+
+def test_freeze_encoder_zeroes_encoder_grads():
+    """freeze_encoder (encoder_freeze_on_warmup, ref autoencoders.py:243):
+    reconstruction gradients stop at the encoder output."""
+    from kalle_tpu.train.codec_trainer import _reconstruct
+
+    cfg = SigmaVAEConfig.tiny()
+    params = init_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(6)
+    wav = jnp.asarray(rng.normal(size=(1, 1, 2048)) * 0.3, jnp.float32)
+
+    def loss(p, freeze):
+        wav_hat, kl = _reconstruct("sigma", cfg, p, wav, jax.random.key(1),
+                                   freeze_encoder=freeze)
+        return jnp.mean(wav_hat ** 2) + kl
+
+    def enc_norm(g):
+        enc = [v for k, v in g.items() if "enc" in k.lower()]
+        assert enc, list(g)
+        return sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(enc))
+
+    g_free = jax.grad(lambda p: loss(p, False))(params)
+    g_froz = jax.grad(lambda p: loss(p, True))(params)
+    assert enc_norm(g_free) > 0
+    assert enc_norm(g_froz) == 0.0
+    # decoder still trains
+    dec_froz = sum(float(jnp.abs(x).sum()) for k, v in g_froz.items()
+                   if "dec" in k.lower() for x in jax.tree.leaves(v))
+    assert dec_froz > 0
+
+
+def test_latent_mask_ratio_changes_decode_only():
+    """latent_mask_ratio (ref autoencoders.py:260-263): 0.0 is the exact
+    old path; >0 perturbs the reconstruction but not the KL (mask applies
+    before decode only)."""
+    from kalle_tpu.train.codec_trainer import _reconstruct
+
+    cfg = SigmaVAEConfig.tiny()
+    params = init_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(7)
+    wav = jnp.asarray(rng.normal(size=(1, 1, 2048)) * 0.3, jnp.float32)
+
+    base, kl0 = _reconstruct("sigma", cfg, params, wav, jax.random.key(1))
+    same, kl_same = _reconstruct("sigma", cfg, params, wav, jax.random.key(1),
+                                 latent_mask_ratio=0.0)
+    np.testing.assert_allclose(np.asarray(same), np.asarray(base))
+    masked, kl_m = _reconstruct("sigma", cfg, params, wav, jax.random.key(1),
+                                latent_mask_ratio=0.5)
+    assert not np.allclose(np.asarray(masked), np.asarray(base))
+    np.testing.assert_allclose(float(kl_m), float(kl0), rtol=1e-6)

@@ -119,6 +119,17 @@ def main():
                          "steps//2)")
     ap.add_argument("--disc-lr", type=float, default=None,
                     help="discriminator lr (default: --lr)")
+    ap.add_argument("--ema", action="store_true",
+                    help="keep an EMA copy of the generator (reference "
+                         "default: ema_pytorch beta 0.9999 power 3/4); "
+                         "eval/export use the EMA weights")
+    ap.add_argument("--freeze-encoder-on-warmup", action="store_true",
+                    help="stop encoder gradients once warmed up (reference "
+                         "encoder_freeze_on_warmup: post-warmup only the "
+                         "decoder adapts to the adversarial phase)")
+    ap.add_argument("--latent-mask", type=float, default=0.0,
+                    help="randomly zero this fraction of latents before "
+                         "decode (noise resistance, ref latent_mask_ratio)")
     ap.add_argument("--ckpt", default="",
                     help="checkpoint dir for the GAN arm: saves the FULL "
                          "CodecTrainState (gen+disc params AND both "
@@ -201,7 +212,7 @@ def main():
         disc_tx = ct.make_codec_optimizer(args.disc_lr or args.lr)
         state = ct.make_state(params,
                               disc_mod.init_params(dcfg, jax.random.key(2)),
-                              gen_tx, disc_tx)
+                              gen_tx, disc_tx, use_ema=args.ema)
         key = jax.random.key(3)
         dm = {"adv_d": float("nan")}
         # adversarial arm only when the GAN weights are nonzero (the A/B
@@ -228,11 +239,14 @@ def main():
             if gan_on and i % 2:
                 state, dm = ct.discriminator_step(state, "sigma", cfg, dcfg,
                                                   disc_tx, wav, key)
-            state, gm = ct.generator_step(state, "sigma", cfg, dcfg, gen_tx,
-                                          weights, wav, key,
-                                          warmup_steps=warmup, gan_on=gan_on,
-                                          resolutions=resolutions)
-            params = state.gen_params
+            state, gm = ct.generator_step(
+                state, "sigma", cfg, dcfg, gen_tx, weights, wav, key,
+                warmup_steps=warmup, gan_on=gan_on, resolutions=resolutions,
+                freeze_encoder=args.freeze_encoder_on_warmup and gan_on,
+                latent_mask_ratio=args.latent_mask)
+            # eval/export on the EMA weights when enabled (ref semantics)
+            params = state.gen_ema if state.gen_ema is not None \
+                else state.gen_params
             if i % args.eval_every == 0 or i == args.steps - 1:
                 tr_snr, tr_mr = metrics(params, train)
                 ho_snr, ho_mr = metrics(params, held)
