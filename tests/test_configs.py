@@ -53,3 +53,32 @@ def test_vggsound_operating_point():
     assert exp.train.log_interval == 1
     assert not exp.use_flash_attention
     assert not exp.model.llama.use_flash_attention
+
+
+REF_CONFIG_DIR = "/root/reference/configs"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_CONFIG_DIR),
+                    reason="reference snapshot not present")
+def test_all_reference_yamls_load_verbatim():
+    """The loader accepts every one of the reference's own experiment YAMLs
+    unmodified (the reference schema is the contract, incl. the
+    use_flash_attation typo); spot-check operating points. head_variant is
+    NOT encoded in the reference YAMLs (their train scripts hardcode the
+    model class), so verbatim loads keep the sigma default."""
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(REF_CONFIG_DIR, "*.yaml")))
+    assert len(paths) == 8, paths
+    by_name = {}
+    for p in paths:
+        cfg = load_experiment_config(p)
+        assert cfg.model.llama.hidden_size > 0
+        by_name[os.path.basename(p)] = cfg
+
+    assert by_name["twj_sigmaVAE.yaml"].model.latent_dim == 64
+    assert by_name["twj_sigmaVAE.yaml"].model.audio_proj_dim == 2048
+    assert by_name["vae_12_5hz_dim2048_tts-sft.yaml"].model.latent_dim == 1024
+    assert by_name["vae_12_5_dim1024-sft.yaml"].model.latent_dim == 512
+    assert (by_name["vae_12_5_dim512-ecapatdnn-globalvae_v1.yaml"]
+            .model.latent_dim == 256)
