@@ -28,11 +28,28 @@ class DiscriminatorConfig:
         (1024, 256, 1024), (2048, 512, 2048), (512, 128, 512))
     channels: int = 32
     n_layers: int = 4
+    # audio channels (2 = stereo, the reference Encodec discriminator's
+    # in_channels for the Oobleck arm, ref training/autoencoders.py:135)
+    in_channels: int = 1
 
     @staticmethod
-    def tiny() -> "DiscriminatorConfig":
+    def tiny(in_channels: int = 1) -> "DiscriminatorConfig":
         return DiscriminatorConfig(periods=(2, 3), mrd_resolutions=((256, 64, 256),),
-                                   channels=8, n_layers=2)
+                                   channels=8, n_layers=2,
+                                   in_channels=in_channels)
+
+    @staticmethod
+    def encodec_stereo() -> "DiscriminatorConfig":
+        """Operating point of the reference's default Encodec discriminator
+        for the stereo Oobleck arm (training/autoencoders.py:76-94: scales
+        2048..32 at 0.75 overlap, filters=32). Our MRD runs on GEMM-STFT
+        magnitudes per channel; scales < 128 are dropped (sub-lane STFTs are
+        MXU-hostile and contribute negligible receptive field)."""
+        scales = (2048, 1024, 512, 256, 128)
+        return DiscriminatorConfig(
+            periods=(2, 3, 5, 7, 11),
+            mrd_resolutions=tuple((s, s // 4, s) for s in scales),
+            channels=32, n_layers=4, in_channels=2)
 
 
 def _conv_init(key, k, cin, cout):
@@ -59,9 +76,11 @@ def init_params(cfg: DiscriminatorConfig, key) -> dict:
 
     return {
         # period phases become input CHANNELS (dense NWC convs on the MXU,
-        # instead of the reference's (T/p, p) 2-D conv layout)
-        "mpd": [stack(p) for p in cfg.periods],
-        "mrd": [stack(n_fft // 2 + 1) for (n_fft, _, _) in cfg.mrd_resolutions],
+        # instead of the reference's (T/p, p) 2-D conv layout); audio
+        # channels multiply in (stereo -> 2x input channels)
+        "mpd": [stack(p * cfg.in_channels) for p in cfg.periods],
+        "mrd": [stack((n_fft // 2 + 1) * cfg.in_channels)
+                for (n_fft, _, _) in cfg.mrd_resolutions],
     }
 
 
@@ -78,25 +97,31 @@ def _run_stack(layers, x) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
 
 def forward(params: dict, cfg: DiscriminatorConfig,
             wav: jnp.ndarray) -> Tuple[List[jnp.ndarray], List[List[jnp.ndarray]]]:
-    """wav (B, 1, T) -> (list of logits, list of feature lists)."""
-    x = jnp.transpose(wav, (0, 2, 1))  # (B, T, 1)
+    """wav (B, C, T), C == cfg.in_channels -> (logits list, feature lists)."""
+    x = jnp.transpose(wav, (0, 2, 1))  # (B, T, C)
     logits, feats = [], []
 
-    # multi-period: the p phases become channels -> (B, T/p, p)
+    # multi-period: the p phases (x C audio channels) become channels
+    # -> (B, T/p, p*C)
     for p_idx, period in enumerate(cfg.periods):
         T = x.shape[1]
         pad = (-T) % period
         xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-        xp = xp.reshape(x.shape[0], -1, period)
+        xp = xp.reshape(x.shape[0], -1, period * x.shape[-1])
         l, f = _run_stack(params["mpd"][p_idx], xp)
         logits.append(l)
         feats.append(f)
 
-    # multi-resolution STFT magnitudes
+    # multi-resolution STFT magnitudes; stereo stacks per-channel mags along
+    # the channel axis (the reference Encodec disc convolves complex STFTs of
+    # each channel with 2-D kernels; per-channel magnitude stacks keep the
+    # same information reachable by dense NWC convs on the MXU)
     for r_idx, (n_fft, hop, win) in enumerate(cfg.mrd_resolutions):
         if wav.shape[-1] < n_fft:
             continue
-        mag = stft_mag(wav[:, 0, :], n_fft, hop, win, power=1.0)  # (B, F, T')
+        mags = [stft_mag(wav[:, c, :], n_fft, hop, win, power=1.0)
+                for c in range(wav.shape[1])]  # each (B, F, T')
+        mag = jnp.concatenate(mags, axis=1)
         l, f = _run_stack(params["mrd"][r_idx], jnp.transpose(mag, (0, 2, 1)))
         logits.append(l)
         feats.append(f)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.mel import stft_mag
@@ -45,6 +46,30 @@ def multi_resolution_stft_loss(
     return total / len(resolutions)
 
 
+def sum_and_difference_stft_loss(
+    x: jnp.ndarray, y: jnp.ndarray,
+    resolutions: Sequence[Tuple[int, int, int]] = DEFAULT_RESOLUTIONS,
+    w_sd: float = 2.0, w_lr: float = 0.5,
+) -> jnp.ndarray:
+    """Stereo mid/side MRSTFT (Steinmetz 2020), the reference's stereo codec
+    recon loss. x = reconstruction, y = target, both (B, 2, T).
+
+    Reference composition (stable_audio_tools/training/autoencoders.py:162-177
+    + losses/auraloss.py:534-606): sdstft = (MRSTFT(L+R) + MRSTFT(L-R)) / 2,
+    plus per-channel MRSTFT(L), MRSTFT(R) each at mrstft_weight/2. NOTE the
+    reference appends the sdstft loss module TWICE (autoencoders.py:163 and
+    :175 both add it unconditionally), so its effective weight is 2x the
+    configured mrstft weight — ``w_sd=2.0`` reproduces that quirk; pass 1.0
+    for the single-count reading."""
+    sum_x, diff_x = x[:, 0] + x[:, 1], x[:, 0] - x[:, 1]
+    sum_y, diff_y = y[:, 0] + y[:, 1], y[:, 0] - y[:, 1]
+    sd = (multi_resolution_stft_loss(sum_x, sum_y, resolutions)
+          + multi_resolution_stft_loss(diff_x, diff_y, resolutions)) / 2.0
+    lr = (multi_resolution_stft_loss(x[:, 0], y[:, 0], resolutions)
+          + multi_resolution_stft_loss(x[:, 1], y[:, 1], resolutions))
+    return w_sd * sd + w_lr * lr
+
+
 def l1_time_loss(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.abs(x - y))
 
@@ -67,6 +92,21 @@ def discriminator_adv_loss(real_logits: Sequence[jnp.ndarray],
     for r, f in zip(real_logits, fake_logits):
         loss = loss + jnp.mean((1.0 - r) ** 2) + jnp.mean(f ** 2)
     return loss / len(real_logits)
+
+
+def generator_hinge_loss(fake_logits: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Encodec-family hinge generator loss, summed over scales (NOT meaned —
+    ref stable_audio_tools/models/discriminators.py:11-14,46-55 accumulates
+    per-scale hinge terms without dividing)."""
+    return sum(-jnp.mean(f) for f in fake_logits)
+
+
+def discriminator_hinge_loss(real_logits: Sequence[jnp.ndarray],
+                             fake_logits: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    loss = 0.0
+    for r, f in zip(real_logits, fake_logits):
+        loss = loss + jnp.mean(jax.nn.relu(1.0 - r)) + jnp.mean(jax.nn.relu(1.0 + f))
+    return loss
 
 
 def feature_matching_loss(real_feats, fake_feats) -> jnp.ndarray:

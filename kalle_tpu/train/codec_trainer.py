@@ -18,13 +18,16 @@ import jax.numpy as jnp
 import optax
 
 from ..models.codecs import discriminators as disc
-from ..models.codecs import melvae, sigmavae
+from ..models.codecs import melvae, oobleck, sigmavae
 from .codec_losses import (
     discriminator_adv_loss,
+    discriminator_hinge_loss,
     feature_matching_loss,
     generator_adv_loss,
+    generator_hinge_loss,
     l1_time_loss,
     multi_resolution_stft_loss,
+    sum_and_difference_stft_loss,
     vae_kl_loss,
 )
 
@@ -48,6 +51,14 @@ class LossWeights(NamedTuple):
     kl: float = 1e-4
     adv: float = 1.0
     fm: float = 2.0
+
+    @staticmethod
+    def oobleck_default() -> "LossWeights":
+        """The reference wrapper's default loss_config for the Oobleck arm
+        (stable_audio_tools/training/autoencoders.py:76-117,450-453):
+        mrstft 1.0, l1 0.0, adversarial 0.1, feature_matching 5.0, kl 1e-6."""
+        return LossWeights(mrstft=1.0, l1=0.0, mse=0.0, kl=1e-6,
+                           adv=0.1, fm=5.0)
 
 
 def inverse_lr_schedule(base_lr: float, inv_gamma: float = 1.0,
@@ -118,6 +129,27 @@ def _reconstruct(kind: str, cfg, params, wav, rng,
         # sigma-VAE regularizer: E||mean||^2 (fixed variance)
         kl = jnp.mean(z * z)
         return wav_hat, kl
+    if kind == "oobleck":
+        # Stereo 44.1 kHz Oobleck VAE with the patched passthrough bottleneck:
+        # encoder emits mean||scale, sampling happens vae_sample-style in the
+        # caller with scale used DIRECTLY as the stdev (no softplus — ref
+        # stable_audio_tools/models/bottleneck.py:51-62 as patched by kalle),
+        # KL = (mean^2 + var - logvar - 1).sum(channels).mean() to match.
+        ms = oobleck.encode_nwc(params, cfg, jnp.transpose(wav, (0, 2, 1)))
+        if freeze_encoder:
+            ms = jax.lax.stop_gradient(ms)
+        d = ms.shape[-1] // 2
+        mean, scale = ms[..., :d], ms[..., d:]
+        z = mean + scale * jax.random.normal(rng, mean.shape, mean.dtype)
+        if latent_mask_ratio > 0.0:
+            keep = jax.random.uniform(jax.random.fold_in(rng, 1),
+                                      z.shape) >= latent_mask_ratio
+            z = jnp.where(keep, z, jnp.zeros_like(z))
+        wav_hat = jnp.transpose(oobleck.decode_nwc(params, cfg, z), (0, 2, 1))
+        var = scale * scale
+        logvar = jnp.log(jnp.maximum(var, 1e-12))
+        kl = jnp.mean(jnp.sum(mean * mean + var - logvar - 1.0, axis=-1))
+        return wav_hat, kl
     raise ValueError(kind)
 
 
@@ -125,12 +157,14 @@ def _reconstruct(kind: str, cfg, params, wav, rng,
                                              "weights", "warmup_steps",
                                              "gan_on", "resolutions",
                                              "freeze_encoder",
-                                             "latent_mask_ratio"))
+                                             "latent_mask_ratio",
+                                             "adv_type"))
 def generator_step(state: CodecTrainState, kind: str, cfg, dcfg, gen_tx,
                    weights: LossWeights, wav: jnp.ndarray, rng: jax.Array,
                    warmup_steps: int = 0, gan_on: bool = True,
                    resolutions=None, freeze_encoder: bool = False,
-                   latent_mask_ratio: float = 0.0
+                   latent_mask_ratio: float = 0.0,
+                   adv_type: str = "lsgan"
                    ) -> Tuple[CodecTrainState, Dict[str, jnp.ndarray]]:
     """One generator update. Adversarial + feature-matching terms are zero
     until ``state.step >= warmup_steps`` (reference semantics:
@@ -159,7 +193,12 @@ def generator_step(state: CodecTrainState, kind: str, cfg, dcfg, gen_tx,
                                    latent_mask_ratio=latent_mask_ratio)
         T = min(wav.shape[-1], wav_hat.shape[-1])
         x, y = wav_hat[..., :T], wav[..., :T]
-        mr = multi_resolution_stft_loss(x[:, 0], y[:, 0], **mr_kw)
+        if wav.shape[1] == 2:
+            # stereo: mid/side MRSTFT + per-channel terms (the reference's
+            # SumAndDifferenceSTFTLoss composition, autoencoders.py:162-177)
+            mr = sum_and_difference_stft_loss(x, y, **mr_kw)
+        else:
+            mr = multi_resolution_stft_loss(x[:, 0], y[:, 0], **mr_kw)
         l1 = l1_time_loss(x, y)
         mse = jnp.mean((x - y) ** 2)
         total = (weights.mrstft * mr + weights.l1 * l1 + weights.mse * mse
@@ -167,7 +206,8 @@ def generator_step(state: CodecTrainState, kind: str, cfg, dcfg, gen_tx,
         if gan_on:
             fake_logits, fake_feats = disc.forward(state.disc_params, dcfg, x)
             _, real_feats = disc.forward(state.disc_params, dcfg, y)
-            adv = generator_adv_loss(fake_logits)
+            adv = (generator_hinge_loss(fake_logits) if adv_type == "hinge"
+                   else generator_adv_loss(fake_logits))
             fm = feature_matching_loss(real_feats, fake_feats)
             total = total + warmed * (weights.adv * adv + weights.fm * fm)
         else:
@@ -188,9 +228,11 @@ def generator_step(state: CodecTrainState, kind: str, cfg, dcfg, gen_tx,
                           gen_ema=gen_ema, step=state.step + 1), metrics
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "cfg", "dcfg", "disc_tx"))
+@functools.partial(jax.jit, static_argnames=("kind", "cfg", "dcfg", "disc_tx",
+                                             "adv_type"))
 def discriminator_step(state: CodecTrainState, kind: str, cfg, dcfg, disc_tx,
-                       wav: jnp.ndarray, rng: jax.Array
+                       wav: jnp.ndarray, rng: jax.Array,
+                       adv_type: str = "lsgan"
                        ) -> Tuple[CodecTrainState, Dict[str, jnp.ndarray]]:
     rng = jax.random.fold_in(rng, state.step)
     wav_hat, _ = _reconstruct(kind, cfg, state.gen_params, wav, rng)
@@ -201,6 +243,8 @@ def discriminator_step(state: CodecTrainState, kind: str, cfg, dcfg, disc_tx,
     def loss_fn(dp):
         real_logits, _ = disc.forward(dp, dcfg, y)
         fake_logits, _ = disc.forward(dp, dcfg, x)
+        if adv_type == "hinge":
+            return discriminator_hinge_loss(real_logits, fake_logits)
         return discriminator_adv_loss(real_logits, fake_logits)
 
     loss, grads = jax.value_and_grad(loss_fn)(state.disc_params)

@@ -262,3 +262,108 @@ def test_latent_mask_ratio_changes_decode_only():
                                 latent_mask_ratio=0.5)
     assert not np.allclose(np.asarray(masked), np.asarray(base))
     np.testing.assert_allclose(float(kl_m), float(kl0), rtol=1e-6)
+
+
+# ---- stereo Oobleck arm (round-5: VERDICT missing #1) ----
+
+def _tiny_oobleck():
+    from kalle_tpu.models.codecs.oobleck import OobleckConfig, init_params as oo_init
+
+    cfg = OobleckConfig(channels=4, latent_dim=4, encoder_out_dim=8,
+                        c_mults=(1, 2), strides=(2, 4), sample_rate=16000)
+    return cfg, oo_init(cfg, jax.random.key(0))
+
+
+def _stereo_wav(T=1024, n=2):
+    rng = np.random.default_rng(5)
+    t = np.arange(T) / 16000
+    left = 0.5 * np.sin(2 * np.pi * 440 * t) + 0.1 * rng.normal(size=T)
+    right = 0.9 * np.roll(left, 8)
+    return jnp.asarray(np.tile(np.stack([left, right])[None], (n, 1, 1)),
+                       jnp.float32)
+
+
+def test_sum_and_difference_stft_loss_properties():
+    """Mid/side loss: zero at identity; penalizes a pure side-channel error
+    that per-channel-summed mono loss underweights (Steinmetz 2020, ref
+    losses/auraloss.py:534-606)."""
+    from kalle_tpu.train.codec_losses import sum_and_difference_stft_loss
+
+    res = ((256, 64, 256),)
+    y = _stereo_wav()[..., :512]
+    assert float(sum_and_difference_stft_loss(y, y, resolutions=res)) < 1e-4
+    # swap channels: sum term unchanged, diff term flips sign -> loss > 0
+    x = y[:, ::-1, :]
+    assert float(sum_and_difference_stft_loss(x, y, resolutions=res)) > 0.05
+
+
+def test_oobleck_reconstruct_contract():
+    """oobleck kind in _reconstruct: stereo in/out, vae_sample quirk (scale
+    is the stdev directly), KL = sum-over-channels mean (ref
+    bottleneck.py:51-62)."""
+    from kalle_tpu.train.codec_trainer import _reconstruct
+
+    cfg, params = _tiny_oobleck()
+    wav = _stereo_wav(T=8 * cfg.downsampling_ratio, n=1)
+    wav_hat, kl = _reconstruct("oobleck", cfg, params, wav, jax.random.key(1))
+    assert wav_hat.shape[1] == 2
+    assert wav_hat.shape[-1] == wav.shape[-1]
+    assert np.isfinite(float(kl)) and float(kl) >= 0.0
+    # freeze_encoder still produces output; grads checked in the GAN test
+    hat2, _ = _reconstruct("oobleck", cfg, params, wav, jax.random.key(1),
+                           freeze_encoder=True)
+    np.testing.assert_allclose(np.asarray(hat2), np.asarray(wav_hat),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_stereo_oobleck_gan_steps_hinge():
+    """Full stereo A/B shape: oobleck generator+discriminator steps with the
+    Encodec hinge objective and a stereo (in_channels=2) discriminator run,
+    stay finite, and descend (ref autoencoders.py:135 EncodecDiscriminator
+    in_channels=out_channels, discriminators.py:11-14 hinge)."""
+    cfg, gen_params = _tiny_oobleck()
+    dcfg = disc.DiscriminatorConfig.tiny(in_channels=2)
+    disc_params = disc.init_params(dcfg, jax.random.key(1))
+    gen_tx = optax.adam(1e-3)
+    disc_tx = optax.adam(1e-3)
+    state = make_state(gen_params, disc_params, gen_tx, disc_tx)
+    weights = LossWeights.oobleck_default()
+    wav = _stereo_wav(T=16 * cfg.downsampling_ratio, n=2)
+
+    first = None
+    for i in range(6):
+        state, gm = generator_step(state, "oobleck", cfg, dcfg, gen_tx,
+                                   weights, wav, jax.random.key(3),
+                                   adv_type="hinge",
+                                   resolutions=((256, 64, 256),))
+        state, dm = discriminator_step(state, "oobleck", cfg, dcfg, disc_tx,
+                                       wav, jax.random.key(4),
+                                       adv_type="hinge")
+        if first is None:
+            first = float(gm["gen_total"])
+        for v in list(gm.values()) + list(dm.values()):
+            assert np.isfinite(float(v))
+    assert float(gm["gen_total"]) < first
+
+
+def test_hinge_losses_match_reference_form():
+    """Hinge forms (ref discriminators.py:11-14): gen = -mean(fake) summed
+    over scales; disc = mean(relu(1-real)) + mean(relu(1+fake)) summed."""
+    from kalle_tpu.train.codec_losses import (
+        discriminator_hinge_loss,
+        generator_hinge_loss,
+    )
+    import torch
+
+    rng = np.random.default_rng(9)
+    real = [rng.normal(size=(2, 7, 1)).astype(np.float32) for _ in range(3)]
+    fake = [rng.normal(size=(2, 7, 1)).astype(np.float32) for _ in range(3)]
+    g = float(generator_hinge_loss([jnp.asarray(f) for f in fake]))
+    d = float(discriminator_hinge_loss([jnp.asarray(r) for r in real],
+                                       [jnp.asarray(f) for f in fake]))
+    tg = sum(-torch.tensor(f).mean() for f in fake)
+    td = sum(torch.relu(1 - torch.tensor(r)).mean()
+             + torch.relu(1 + torch.tensor(f)).mean()
+             for r, f in zip(real, fake))
+    np.testing.assert_allclose(g, float(tg), rtol=1e-6)
+    np.testing.assert_allclose(d, float(td), rtol=1e-6)

@@ -90,8 +90,24 @@ def make_bank(sr: int, seconds: float, n: int, seed: int = 0):
     return np.stack(clips).astype(np.float32)
 
 
+def stereo_bank(bank, sr):
+    """(N, T) mono -> (N, 2, T) stereo: right = 0.5 ms-delayed, slightly
+    attenuated left (a plausible stereo image; keeps sum/diff both nonzero
+    so the mid/side loss terms are exercised)."""
+    import numpy as np
+
+    right = 0.9 * np.roll(bank, max(1, sr // 2000), axis=-1)
+    return np.stack([bank, right], axis=1).astype(np.float32)
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--kind", default="sigma", choices=["sigma", "oobleck"],
+                    help="sigma: mono 24 kHz sigma-VAE (LSGAN MPD+MRD); "
+                         "oobleck: stereo Oobleck VAE at the reference's "
+                         "stable-audio operating point (hinge Encodec-style "
+                         "multi-scale disc, mid/side MRSTFT — ref "
+                         "training/autoencoders.py:76-135)")
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--platform", default="")
     ap.add_argument("--size", default="full", choices=["full", "small"])
@@ -149,32 +165,67 @@ def main():
     import numpy as np
     import optax
 
-    from kalle_tpu.models.codecs import sigmavae
-    from kalle_tpu.train.codec_losses import multi_resolution_stft_loss
+    from kalle_tpu.models.codecs import oobleck, sigmavae
+    from kalle_tpu.train.codec_losses import (
+        multi_resolution_stft_loss,
+        sum_and_difference_stft_loss,
+    )
 
-    if args.size == "full":
-        cfg = sigmavae.SigmaVAEConfig()  # 3200x, 64-d @ 7.5 Hz
-    else:
-        cfg = sigmavae.SigmaVAEConfig(latent_dim=16, strides=(2, 2),
-                                      channels=(16, 32), blocks_per_stage=1)
-    params = sigmavae.init_params(cfg, jax.random.key(0))
+    if args.kind == "sigma":
+        if args.size == "full":
+            cfg = sigmavae.SigmaVAEConfig()  # 3200x, 64-d @ 7.5 Hz
+        else:
+            cfg = sigmavae.SigmaVAEConfig(latent_dim=16, strides=(2, 2),
+                                          channels=(16, 32),
+                                          blocks_per_stage=1)
+        params = sigmavae.init_params(cfg, jax.random.key(0))
+        ratio, channels = cfg.hop, 1
+
+        def copysyn(p, wav):
+            return sigmavae.decode(p, cfg, sigmavae.encode(p, cfg, wav))
+    else:  # stereo Oobleck (stable-audio operating point / small analog)
+        if args.size == "full":
+            cfg = oobleck.OobleckConfig()  # stereo 44.1 kHz, 2048x, 64-d
+        else:
+            cfg = oobleck.OobleckConfig(channels=8, latent_dim=8,
+                                        encoder_out_dim=16, c_mults=(1, 2),
+                                        strides=(2, 4), sample_rate=16000)
+        params = oobleck.init_params(cfg, jax.random.key(0))
+        ratio, channels = cfg.downsampling_ratio, cfg.io_channels
+
+        def copysyn(p, wav):
+            # copy-synthesis through the mean (deterministic): the patched
+            # passthrough bottleneck emits mean||scale
+            ms = oobleck.encode(p, cfg, wav)
+            return oobleck.decode(p, cfg, ms[:, :ms.shape[1] // 2])
+
     train_bank = make_bank(cfg.sample_rate, args.seconds, args.clips, seed=0)
     held_bank = make_bank(cfg.sample_rate, args.seconds, args.holdout,
                           seed=777)
-    T = (train_bank.shape[-1] // cfg.hop) * cfg.hop
-    train = jnp.asarray(train_bank[:, None, :T])
-    held = jnp.asarray(held_bank[:, None, :T])
+    T = (train_bank.shape[-1] // ratio) * ratio
+    if channels == 2:
+        train = jnp.asarray(stereo_bank(train_bank, cfg.sample_rate)[..., :T])
+        held = jnp.asarray(stereo_bank(held_bank, cfg.sample_rate)[..., :T])
+    else:
+        train = jnp.asarray(train_bank[:, None, :T])
+        held = jnp.asarray(held_bank[:, None, :T])
 
     sched = optax.cosine_decay_schedule(args.lr, args.steps, 0.02)
     tx = optax.adam(sched)
     opt = tx.init(params)
     resolutions = ((2048, 512, 2048), (1024, 256, 1024), (512, 128, 512))
 
+    def mr_loss(x, y):
+        if channels == 2:
+            return sum_and_difference_stft_loss(x, y,
+                                                resolutions=resolutions)
+        return multi_resolution_stft_loss(x[:, 0], y[:, 0],
+                                          resolutions=resolutions)
+
     def loss_fn(p, wav):
-        y = sigmavae.decode(p, cfg, sigmavae.encode(p, cfg, wav))
+        y = copysyn(p, wav)
         mse = jnp.mean((y - wav) ** 2)
-        mr = multi_resolution_stft_loss(y[:, 0], wav[:, 0],
-                                        resolutions=resolutions)
+        mr = mr_loss(y, wav)
         return args.mse_weight * mse + mr, (mse, mr)
 
     @jax.jit
@@ -185,12 +236,10 @@ def main():
 
     @jax.jit
     def metrics(p, wav):
-        y = sigmavae.decode(p, cfg, sigmavae.encode(p, cfg, wav))
+        y = copysyn(p, wav)
         snr = 10.0 * jnp.log10(jnp.mean(wav ** 2)
                                / (jnp.mean((y - wav) ** 2) + 1e-12))
-        mr = multi_resolution_stft_loss(y[:, 0], wav[:, 0],
-                                        resolutions=resolutions)
-        return snr, mr
+        return snr, mr_loss(y, wav)
 
     rng = np.random.default_rng(1)
     traj = []
@@ -199,8 +248,17 @@ def main():
         from kalle_tpu.models.codecs import discriminators as disc_mod
         from kalle_tpu.train import codec_trainer as ct
 
-        dcfg = (disc_mod.DiscriminatorConfig() if args.size == "full"
-                else disc_mod.DiscriminatorConfig.tiny())
+        if args.kind == "oobleck":
+            # the reference's Oobleck arm: Encodec-style multi-scale disc,
+            # hinge losses (ref autoencoders.py:135, discriminators.py:11)
+            dcfg = (disc_mod.DiscriminatorConfig.encodec_stereo()
+                    if args.size == "full"
+                    else disc_mod.DiscriminatorConfig.tiny(in_channels=2))
+            adv_type = "hinge"
+        else:
+            dcfg = (disc_mod.DiscriminatorConfig() if args.size == "full"
+                    else disc_mod.DiscriminatorConfig.tiny())
+            adv_type = "lsgan"
         # identical reconstruction objective to the recon-only arm
         # (mse_weight*MSE + MRSTFT) so the A/B isolates the GAN terms
         weights = ct.LossWeights(mrstft=1.0, l1=0.0, mse=args.mse_weight,
@@ -237,13 +295,14 @@ def main():
             # generator updates
             gan_on = use_adv and i >= warmup
             if gan_on and i % 2:
-                state, dm = ct.discriminator_step(state, "sigma", cfg, dcfg,
-                                                  disc_tx, wav, key)
+                state, dm = ct.discriminator_step(state, args.kind, cfg, dcfg,
+                                                  disc_tx, wav, key,
+                                                  adv_type=adv_type)
             state, gm = ct.generator_step(
-                state, "sigma", cfg, dcfg, gen_tx, weights, wav, key,
+                state, args.kind, cfg, dcfg, gen_tx, weights, wav, key,
                 warmup_steps=warmup, gan_on=gan_on, resolutions=resolutions,
                 freeze_encoder=args.freeze_encoder_on_warmup and gan_on,
-                latent_mask_ratio=args.latent_mask)
+                latent_mask_ratio=args.latent_mask, adv_type=adv_type)
             # eval/export on the EMA weights when enabled (ref semantics)
             params = state.gen_ema if state.gen_ema is not None \
                 else state.gen_params
@@ -287,9 +346,9 @@ def main():
         from kalle_tpu.core.checkpoint import save_params_npz
         from kalle_tpu.utils.audio import write_wav
 
-        save_params_npz(os.path.join(args.out, "sigmavae_demo.npz"), params)
-        y = sigmavae.decode(params, cfg, sigmavae.encode(params, cfg,
-                                                         held[:1]))
+        save_params_npz(os.path.join(args.out, f"{args.kind}vae_demo.npz"),
+                        params)
+        y = copysyn(params, held[:1])
         write_wav(os.path.join(args.out, "holdout_copysyn0.wav"),
                   np.asarray(y[0]), cfg.sample_rate)
         write_wav(os.path.join(args.out, "holdout_gt0.wav"),
@@ -303,6 +362,7 @@ def main():
         "holdout_snr_db": round(float(ho_snr), 2),
         "holdout_mrstft": round(float(ho_mr), 4),
         "steps": args.steps, "size": args.size, "gan": args.gan,
+        "kind": args.kind,
         "warmup_steps": (args.warmup_steps if args.warmup_steps is not None
                          else args.steps // 2) if args.gan else None,
         "clips": args.clips, "holdout_clips": args.holdout,
