@@ -2,15 +2,21 @@
 
 Reference: tools/web_nos.py / backup/web.py — a Gradio app wrapping the
 single-utterance inference API: text normalize, optional reference audio,
-error HTML, and the streaming wav chunk-header helper
+error HTML (ref tools/web_nos.py:57-63), input-audio validity checking via
+ffmpeg (ref :112-140), and the streaming wav chunk-header helper
 (ref backup/web.py:145 wav_chunk_header). gradio is an optional dep
 (not in this image); `build_app` raises a clear error without it, and
-`wav_chunk_header` / `synthesize_fn` are importable standalone.
+every other helper is importable standalone.
 """
 from __future__ import annotations
 
+import html
 import io
+import os
 import struct
+import subprocess
+import tempfile
+import wave
 from typing import Callable, Optional
 
 import numpy as np
@@ -34,6 +40,63 @@ def wav_chunk_header(sample_rate: int = 24000, bits: int = 16,
 def normalize_text(text: str) -> str:
     """Light text normalization matching the demo's preprocessing."""
     return " ".join(text.strip().split())
+
+
+def build_html_error_message(error) -> str:
+    """Red bold error div, html-escaped (ref tools/web_nos.py:57-63)."""
+    return f"""
+    <div style="color: red;
+    font-weight: bold;">
+        {html.escape(str(error))}
+    </div>
+    """
+
+
+def check_audio_validity(wav_data: bytes) -> bool:
+    """Validate uploaded audio bytes before handing them to the pipeline
+    (ref tools/web_nos.py:112-140: temp file -> `ffmpeg -v error -i f
+    -f null -` -> bool). When ffmpeg is absent from the image, fall back
+    to a stdlib `wave` header+frames parse — same contract (corrupt or
+    non-audio bytes -> False), weaker codec coverage (wav only)."""
+    with tempfile.NamedTemporaryFile(delete=False, suffix=".wav") as tmp:
+        tmp.write(wav_data)
+        name = tmp.name
+    try:
+        try:
+            subprocess.run(
+                ["ffmpeg", "-v", "error", "-i", name, "-f", "null", "-"],
+                check=True, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+            return True
+        except FileNotFoundError:
+            try:
+                with wave.open(name, "rb") as w:
+                    return w.getnframes() >= 0 and w.getframerate() > 0
+            except Exception:
+                return False
+        except subprocess.CalledProcessError:
+            return False
+    finally:
+        if os.path.exists(name):
+            os.remove(name)
+
+
+def make_safe_synthesize_fn(infer_tools, max_frames: int = 200) -> Callable:
+    """The demo-facing wrapper: returns ((sr, wav), "no error") on success
+    and (None, "error:<msg>") on failure, never raising into gradio
+    (ref tools/web_nos.py:66-109 inference try/except contract)."""
+    synthesize = make_synthesize_fn(infer_tools, max_frames)
+
+    def safe(reference_audio, reference_text, text,
+             enable_reference_audio=False):
+        try:
+            if not normalize_text(text):
+                raise ValueError("empty text")
+            return (synthesize(reference_audio, reference_text, text,
+                               enable_reference_audio), "no error")
+        except Exception as e:  # noqa: BLE001 — demo boundary
+            return None, f"error:{e}"
+
+    return safe
 
 
 def make_synthesize_fn(infer_tools, max_frames: int = 200) -> Callable:
@@ -83,7 +146,7 @@ def build_app(infer_tools, max_frames: int = 200):
             "gradio is not installed in this image; "
             "`pip install gradio` to serve the web demo") from e
 
-    synthesize = make_synthesize_fn(infer_tools, max_frames)
+    synthesize = make_safe_synthesize_fn(infer_tools, max_frames)
     with gr.Blocks(title="kalle_tpu TTS") as app:
         gr.Markdown("# kalle_tpu — continuous-latent speech LM (TPU)")
         with gr.Row():
@@ -95,5 +158,7 @@ def build_app(infer_tools, max_frames: int = 200):
                 btn = gr.Button("Synthesize")
             with gr.Column():
                 out = gr.Audio(label="Generated audio")
-        btn.click(synthesize, [ref_audio, ref_text, text, enable_ref], out)
+                err = gr.Text(label="Error message", visible=True)
+        btn.click(synthesize, [ref_audio, ref_text, text, enable_ref],
+                  [out, err])
     return app
