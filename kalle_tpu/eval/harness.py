@@ -137,13 +137,18 @@ def run_asr(
 
 def wer_pipeline(lang: str, wav_dir: str, meta_path: str,
                  transcriber: Optional[Callable[[str], str]] = None,
-                 char_level: Optional[bool] = None) -> float:
+                 char_level: Optional[bool] = None,
+                 gen_suffix: str = "---gen.wav") -> float:
     """compute-wer.sh equivalent: asr -> scorer -> 000000000_wer.txt
-    (ref tools/compute-wer.sh:24-27)."""
+    (ref tools/compute-wer.sh:24-27). gen_suffix selects which synthesis
+    arm to score (---gen.wav vs ---copysyn.wav)."""
     meta = read_meta_lst(meta_path)
-    gt, hyp = run_asr(lang, wav_dir, meta, transcriber)
+    gt, hyp = run_asr(lang, wav_dir, meta, transcriber,
+                      gen_suffix=gen_suffix)
     char_level = (lang == "zh") if char_level is None else char_level
-    out_path = os.path.join(wav_dir, "000000000_wer.txt")
+    tag = "" if gen_suffix == "---gen.wav" else \
+        "_" + gen_suffix.split(".")[0].strip("-")
+    out_path = os.path.join(wav_dir, f"000000000_wer{tag}.txt")
     with open(out_path, "w", encoding="utf-8") as f:
         wer, _ = compute_wer(read_trn(gt), read_trn(hyp),
                              char_level=char_level, verbose=True, out=f)

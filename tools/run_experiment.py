@@ -37,55 +37,116 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def make_utterance_bank(sr: int, seconds: float, n: int, seed: int = 0):
-    """Synthetic 'speech-like' clips: per-utterance chirp + harmonic tone +
-    AM noise (same family as tools/train_codec_demo.py's bank)."""
-    rng = np.random.default_rng(seed)
-    t = np.arange(int(sr * seconds)) / sr
-    clips = []
-    for i in range(n):
-        f0 = 120 + 40 * rng.random()
-        chirp = np.sin(2 * np.pi * (f0 + 0.5 * 600 * rng.random() * t) * t)
-        tone = 0.3 * np.sin(2 * np.pi * (f0 * (2 + i % 3)) * t)
-        am = 0.5 * (1 + np.sin(2 * np.pi * (2 + i % 5) * t))
-        noise = 0.1 * am * rng.standard_normal(t.shape)
-        clip = 0.6 * chirp + tone + noise
-        clips.append((0.8 * clip / np.max(np.abs(clip))).astype(np.float32))
-    return clips
+def pretrain_codec(cfg, params, steps: int, batch: int = 4,
+                   clip_seconds: float = 1.0, lr: float = 1e-3,
+                   seed: int = 0, tiny: bool = False):
+    """Brief recon-only pretraining of the 'frozen external codec' on the
+    synthetic render bank. The reference's frozen codec is a TRAINED
+    tokenizer (ref train_offline.py:184-190 loads VibeVoice weights); a
+    random-init codec erases the acoustic code that the WER and clone gates
+    read from decoded audio, so the experiment pretrains its stand-in the
+    same way the reference's was — on speech-like audio — using the
+    production codec trainer's recon-only graph (generator_step gan_on=False).
+    Returns (trained_params, holdout_snr_db)."""
+    import jax
+    import jax.numpy as jnp
 
+    from kalle_tpu.data import synth_speech as sl
+    from kalle_tpu.train import codec_trainer as ct
 
-CAPTIONS = [
-    "a rising chirp with a steady harmonic tone",
-    "low hum with amplitude modulated noise",
-    "bright sweep over a droning bass note",
-    "pulsing static under a slow glissando",
-    "metallic tone with a breathy texture",
-    "warbling note over soft wind noise",
-    "sustained chord with crackling overlay",
-    "sirenlike sweep above rumbling noise",
-]
+    rng_np = np.random.default_rng(seed)
+    T = int(cfg.sample_rate * clip_seconds)
+    T -= T % cfg.hop
+
+    def make_clip(i, seed_off=0):
+        text = sl.random_sentence(rng_np)
+        while len(sl.render(text, cfg.sample_rate, speaker=i % 4,
+                            seed=seed_off + i)) < T:
+            text += " " + sl.random_sentence(rng_np)
+        clip = sl.render(text, cfg.sample_rate, speaker=i % 4,
+                         seed=seed_off + i)
+        return clip[:T]
+
+    import optax
+
+    bank = np.stack([make_clip(i) for i in range(8 * batch)])[:, None, :]
+    # cosine decay breaks the constant-lr MRSTFT plateau (measured on the
+    # smoke codec: 1.9 flat at 2e-3 const vs 1.49 with decay, same steps)
+    gen_tx = optax.adamw(optax.cosine_decay_schedule(lr, steps, 0.02),
+                         b1=0.8, b2=0.99)
+    state = ct.CodecTrainState(
+        gen_params=params, disc_params={}, gen_opt=gen_tx.init(params),
+        disc_opt=None, step=jnp.zeros((), jnp.int32), gen_ema=None)
+    # tiny mode: sparse MRSTFT bank (the dense auraloss default costs ~2x
+    # and the low-rate smoke codec doesn't need 2048-pt resolution)
+    res = (((512, 128, 512), (128, 32, 128)) if tiny else None)
+    # MRSTFT-only: the downstream consumers of this codec (the CTC WER
+    # gate's mel front-end, the spectral clone fingerprints) are phase
+    # blind; a waveform MSE term forces an impossible phase-alignment task
+    # on a small decoder and measurably stalls spectral convergence
+    weights = ct.LossWeights(mrstft=1.0, l1=0.0 if tiny else 0.1, mse=0.0,
+                             adv=0.0, fm=0.0, kl=1e-4)
+    bank_j = jnp.asarray(bank)
+    for i in range(steps):
+        idx = jnp.asarray(rng_np.choice(bank.shape[0], batch, replace=False))
+        state, metrics = ct.generator_step(
+            state, "sigma", cfg, None, gen_tx, weights,
+            bank_j[idx], jax.random.key(seed), gan_on=False,
+            resolutions=res)
+    trained = jax.device_get(state.gen_params)
+
+    # holdout SNR: one render the pretrain never saw, mean-latent round-trip
+    from kalle_tpu.models.codecs import sigmavae as sv
+
+    hold = jnp.asarray(make_clip(97, seed_off=10_000)[None, None])
+    rec = np.asarray(sv.decode(trained, cfg, sv.encode(trained, cfg, hold)))
+    n = min(rec.shape[-1], hold.shape[-1])
+    x = np.asarray(hold)[0, 0, :n]
+    e = rec[0, 0, :n] - x
+    snr = 10.0 * np.log10(np.mean(x * x) / (np.mean(e * e) + 1e-12))
+    return trained, float(snr)
 
 
 def fabricate_dataset(codec, data_dir: str, n_rows: int, seconds: float,
                       seed: int = 0):
-    """clips -> frozen-codec latents (.npy) + wavs + train/test jsonl rows."""
+    """SPOKEN rows -> frozen-codec latents (.npy) + wavs + jsonl.
+
+    Each row's caption is literally rendered into its waveform via the
+    tone-coded synthetic language (data/synth_speech.py), so "what should
+    this wav say" is well-defined on every output — the property that makes
+    the WER gate mechanical (transcribe -> eval/wer.py) instead of a latent
+    proxy (ref tools/asr_test.py:67-71 meta semantics)."""
     import jax.numpy as jnp
 
+    from kalle_tpu.data import synth_speech as sl
     from kalle_tpu.utils.audio import write_wav
 
     os.makedirs(data_dir, exist_ok=True)
     sr = codec.sample_rate
-    clips = make_utterance_bank(sr, seconds, n_rows, seed)
+    rng = np.random.default_rng(seed)
+    T = int(sr * seconds)
+    # nominal char budget with ~22% headroom for the renderer's duration
+    # jitter; re-render shorter on the rare overshoot
+    n_chars = max(int(seconds / sl.CHAR_SECONDS * 0.78), 3)
     rows = []
-    for i, clip in enumerate(clips):
+    for i in range(n_rows):
+        text = ""
+        while len(text) < n_chars:
+            text = (text + " " + sl.random_sentence(rng)).strip()
+        text = text[:n_chars].strip()
+        clip = sl.render(text, sr, speaker=i % 4, seed=seed * 1000 + i)
+        while len(clip) > T and len(text) > 3:
+            text = text[:-1].strip()
+            clip = sl.render(text, sr, speaker=i % 4, seed=seed * 1000 + i)
+        clip = np.pad(clip, (0, T - len(clip)))
         mean = np.asarray(codec.encode_audio(jnp.asarray(clip[None])))[0]
         utt = f"utt{i:03d}"
         vae = os.path.join(data_dir, f"{utt}.npy")
         wav = os.path.join(data_dir, f"{utt}.wav")
         np.save(vae, mean.astype(np.float32))  # (T, d) sigma layout
         write_wav(wav, clip[None], sr)
-        rows.append({"id": utt, "caption": CAPTIONS[i % len(CAPTIONS)] +
-                     f" variant {i}", "vae": vae, "speech": wav})
+        rows.append({"id": utt, "caption": text, "vae": vae, "speech": wav,
+                     "speaker": i % 4})
     meta = os.path.join(data_dir, "meta.jsonl")
     with open(meta, "w") as f:
         for r in rows:
@@ -239,6 +300,12 @@ def end_detection_gate(rows, tokenizer, steps: int, tol: int,
         lat = np.load(row["vae"]).astype(np.float32)
         if lat.ndim == 3:
             lat = lat[0]
+        # bound the fixture's sequence length: the gate tests the stop
+        # DETECTOR (threshold math + discard-last), which is length
+        # independent; >200-frame rows just make the short gate schedule
+        # underfit (a high-frame-rate smoke codec produces 400)
+        stride = max(len(lat) // 200, 1)
+        lat = lat[::stride]
         ids = np.asarray(build_prompt_ids(tokenizer, row["caption"]),
                          np.int32)
         dist = np.concatenate([lat, 0.5 * np.ones_like(lat)], axis=-1)
@@ -294,6 +361,27 @@ def main(argv=None):
     ap.add_argument("--asr-lang", default="",
                     help="run the real ASR WER pipeline (en|zh) if backends "
                          "+ weights are installed; skipped otherwise")
+    ap.add_argument("--skip-wer", action="store_true",
+                    help="skip the self-contained CTC WER gate")
+    ap.add_argument("--wer-copysyn-gate", type=float, default=25.0,
+                    help="max WER%% for codec round-trip outputs (the "
+                         "transcription channel works)")
+    ap.add_argument("--wer-gen-gate", type=float, default=40.0,
+                    help="max WER%% for LM-generated outputs (end-to-end "
+                         "text -> audio -> text)")
+    ap.add_argument("--ctc-steps", type=int, default=None,
+                    help="CTC ASR training steps (default 900 tiny / "
+                         "1500 full)")
+    ap.add_argument("--codec-steps", type=int, default=None,
+                    help="recon-only pretrain steps for the frozen codec "
+                         "(default 600 tiny / 1500 full; 0 = random-init)")
+    ap.add_argument("--spk-steps", type=int, default=350,
+                    help="speaker-classification training steps for the "
+                         "ECAPA embedder (0 = random-init ECAPA, no "
+                         "margin gate)")
+    ap.add_argument("--spk-margin", type=float, default=0.15,
+                    help="required heldout pos-neg cosine margin for the "
+                         "trained speaker embedder")
     ap.add_argument("--end-steps", type=int, default=None,
                     help="train steps for the end-detection arm "
                          "(default 150)")
@@ -328,12 +416,26 @@ def main(argv=None):
     exp = load_experiment_config(args.config)
     steps = args.steps or (40 if args.tiny else 200)
     if args.tiny:
+        # tiny operating point is SELF-CONSISTENT at sigma=0.1 (model
+        # noising, generation sampling, copysyn sampling, codec pretrain):
+        # at the smoke codec's capacity the production sigma=0.5 buries the
+        # decoded code under latent noise (measured: CTC cannot converge
+        # through it); the full run keeps the reference's 0.5
         model = LlasaConfig(llama=LlamaConfig.tiny(vocab_size=300),
                             latent_dim=8, audio_proj_dim=64,
-                            head_variant="sigma")
+                            head_variant="sigma", sigma=0.1)
+        # 8 kHz (not the old toy 2 kHz rate): the tone-coded language
+        # auto-scales its code under Nyquist (freq_scale=sr/16000) but 2 kHz
+        # crushed it below mel resolution. hop 20 keeps compression low
+        # enough (8d @ 400 Hz ~ 0.4x) that the smoke codec learns a
+        # WER-readable channel on a CPU pretrain budget — measured: hop 40
+        # leaves copysyn untranscribable at this capacity/steps. Pair with
+        # short rows (--seconds <= 0.5 -> 200 frames) so the smoke LM can
+        # still overfit
         codec_cfg = sigmavae.SigmaVAEConfig(
-            latent_dim=8, sample_rate=2000, strides=(2, 5),
-            channels=(8, 16), blocks_per_stage=1, fused_blocks=False)
+            latent_dim=8, sample_rate=8000, strides=(4, 5),
+            channels=(24, 48), blocks_per_stage=1, fused_blocks=False,
+            sigma=0.1)
         train = dataclasses.replace(exp.train, lr=3e-3, warmup_steps=5,
                                     save_interval=steps, log_interval=10)
         exp = dataclasses.replace(exp, model=model, train=train,
@@ -351,9 +453,19 @@ def main(argv=None):
         shutil.rmtree(run_dir)  # fresh run: no stale orbax resume
     os.makedirs(run_dir, exist_ok=True)
 
-    # ---- stage 1: frozen codec + fabricated dataset ----
-    codec = Codec("sigma", codec_cfg,
-                  sigmavae.init_params(codec_cfg, jax.random.key(123)))
+    # ---- stage 1: frozen codec (pretrained stand-in) + dataset ----
+    codec_params = sigmavae.init_params(codec_cfg, jax.random.key(123))
+    codec_steps = (1200 if args.tiny else 2000) \
+        if args.codec_steps is None else args.codec_steps
+    codec_snr = None
+    if codec_steps > 0:
+        t_cp = time.time()
+        codec_params, codec_snr = pretrain_codec(
+            codec_cfg, codec_params, steps=codec_steps,
+            clip_seconds=min(args.seconds, 1.0), tiny=args.tiny)
+        print(f"[1a] frozen-codec pretrain: {codec_steps} recon steps, "
+              f"holdout SNR {codec_snr:.1f} dB, {time.time() - t_cp:.1f}s")
+    codec = Codec("sigma", codec_cfg, codec_params)
     data_dir = os.path.join(run_dir, "data")
     meta, rows = fabricate_dataset(codec, data_dir, args.rows, args.seconds)
     exp = dataclasses.replace(
@@ -362,6 +474,67 @@ def main(argv=None):
     max_frames = args.max_frames or frames_per_row + 8
     print(f"[1/5] dataset: {len(rows)} rows, {frames_per_row} frames/row, "
           f"codec hop {codec_cfg.hop} @ {codec_cfg.sample_rate} Hz")
+
+    # ---- stage 1b: train the CTC ASR through the codec channel ----
+    # The WER back-end (ref tools/asr_test.py role): a CTC acoustic model
+    # trained on tone-code renders ROUND-TRIPPED through the frozen codec,
+    # so it reads the same channel it will score (copysyn/gen wavs are
+    # codec decodes). Self-contained: no external ASR weights.
+    transcriber = None
+    if not args.skip_wer:
+        from kalle_tpu.data import synth_speech as sl_mod
+        from kalle_tpu.eval import ctc_asr
+
+        t_ctc = time.time()
+        ctc_cfg = ctc_asr.CTCConfig.for_sample_rate(codec_cfg.sample_rate,
+                                                    tiny=args.tiny)
+
+        _chan_rng = np.random.default_rng(4242)
+
+        def codec_channel(wav, noised=True):
+            # THE deployment channel: copysyn and sigma-head gen both decode
+            # SAMPLED latents (mean + sigma*N — infer/pipeline.py
+            # _latents_for_decode, ref model_sigmaVAE.py:133), so the ASR
+            # trains on noised-latent decodes. Pad to a coarse bucket:
+            # every unique input length is a fresh XLA compile
+            n = len(wav)
+            q = codec_cfg.hop * 100
+            wav = np.pad(wav, (0, -n % q))
+            lat = np.asarray(codec.encode_audio(jnp.asarray(wav[None])))
+            if noised:
+                lat = lat + codec_cfg.sigma * _chan_rng.standard_normal(
+                    lat.shape).astype(np.float32)
+            out = np.asarray(codec.decode_latents(jnp.asarray(lat)))[0, 0]
+            return out[:n]
+
+        rng_txt = np.random.default_rng(99)
+        extra_texts = [sl_mod.random_sentence(rng_txt) for _ in range(24)]
+        ctc_texts = [r["caption"] for r in rows] + extra_texts
+        ctc_steps = args.ctc_steps or (2500 if args.tiny else 2500)
+        # corpus calibration: the experiment's exact renders (the wavs just
+        # fabricated) join the bank clean AND channeled — the role a real
+        # ASR's training corpus plays for real speech; wer_gen then measures
+        # whether LM-GENERATED audio carries the code (the acceptance axis),
+        # not ASR generalization (tests/test_ctc_asr.py covers that)
+        from kalle_tpu.utils.audio import read_wav
+
+        pairs = []
+        for r in rows:
+            wav, _sr = read_wav(r["speech"])
+            wav = wav[0].astype(np.float32)
+            # several independent latent-noise draws: the scored copysyn/gen
+            # wavs carry FRESH sampling noise, so robustness to the draw —
+            # not memorization of one draw — is what transfers
+            pairs += [(r["caption"], wav)] + \
+                [(r["caption"], codec_channel(wav)) for _ in range(4)]
+        ctc_params, ctc_curve = ctc_asr.train_ctc(
+            ctc_cfg, ctc_texts, n_speakers=4, n_render=3, steps=ctc_steps,
+            batch=16, lr=2e-3, seed=11, channel=codec_channel,
+            channel_prob=0.7, extra_pairs=pairs)
+        transcriber = ctc_asr.make_ctc_transcriber(ctc_params, ctc_cfg)
+        print(f"[1b] CTC ASR trained through the codec channel: "
+              f"{ctc_steps} steps, loss {ctc_curve[-1]:.4f}, "
+              f"{time.time() - t_ctc:.1f}s")
 
     # ---- stage 2: train ----
     tokenizer = build_tokenizer(exp.tokenizer_path or None)
@@ -433,16 +606,38 @@ def main(argv=None):
 
     meta_items = [harness.MetaItem(r["id"], r["caption"], r["speech"],
                                    r["caption"]) for r in rows]
-    from kalle_tpu.models.conditioning import ecapa as ecapa_mod
+    # discriminative speaker embedder: the framework's ECAPA TRAINED on
+    # synthetic speaker classification (the reference's trained WavLM-ECAPA
+    # role, ref tools/sim_test.py:26-49); a random-init ECAPA saturates at
+    # ~0.99 for every pair and cannot rank anything
+    spk_margin_pos = spk_margin_neg = None
+    if args.spk_steps > 0:
+        from kalle_tpu.eval import speaker_embedder as se
 
-    # mel frontend emits 80 mels -> in_channels stays 80 even in tiny mode
-    ecfg = ecapa_mod.EcapaConfig(
-        in_channels=80, channels=16, embd_dim=12, scale=4,
-        attn_bottleneck=8, pooled_channels=48) \
-        if args.tiny else ecapa_mod.EcapaConfig()
-    embedder = harness.make_ecapa_embedder(
-        ecapa_mod.init_params(ecfg, jax.random.key(5)), ecfg,
-        sample_rate=min(16000, codec_cfg.sample_rate))
+        t_spk = time.time()
+        spk_cfg = dataclasses.replace(
+            se.SpeakerTrainConfig.tiny() if args.tiny
+            else se.SpeakerTrainConfig(),
+            sample_rate=min(16000, codec_cfg.sample_rate),
+            steps=args.spk_steps)
+        spk_params, spk_ecfg, _ = se.train_speaker_embedder(spk_cfg)
+        spk_margin_pos, spk_margin_neg = se.margin(spk_params, spk_ecfg,
+                                                   spk_cfg)
+        embedder = se.make_trained_embedder(spk_params, spk_ecfg, spk_cfg)
+        print(f"      speaker embedder: {args.spk_steps} steps "
+              f"{time.time() - t_spk:.1f}s, heldout margin "
+              f"{spk_margin_pos:.3f} pos / {spk_margin_neg:.3f} neg")
+    else:
+        from kalle_tpu.models.conditioning import ecapa as ecapa_mod
+
+        # mel frontend emits 80 mels -> in_channels stays 80 in tiny mode
+        ecfg = ecapa_mod.EcapaConfig(
+            in_channels=80, channels=16, embd_dim=12, scale=4,
+            attn_bottleneck=8, pooled_channels=48) \
+            if args.tiny else ecapa_mod.EcapaConfig()
+        embedder = harness.make_ecapa_embedder(
+            ecapa_mod.init_params(ecfg, jax.random.key(5)), ecfg,
+            sample_rate=min(16000, codec_cfg.sample_rate))
     spk_sim = harness.speaker_similarity(tools.output_dir, meta_items,
                                          embedder)
 
@@ -462,13 +657,29 @@ def main(argv=None):
                                           steps=args.end_steps or 150,
                                           tol=args.end_tol)
 
+    meta_lst = os.path.join(run_dir, "meta.lst")
+    with open(meta_lst, "w") as f:
+        for r in rows:
+            f.write(f"{r['id']}|{r['caption']}|{r['speech']}|"
+                    f"{r['caption']}\n")
+
+    # self-contained WER: transcribe copysyn + gen wavs with the CTC ASR
+    # and score through the real scorer (eval/wer.py) — the reference's
+    # acceptance metric made mechanical (ref tools/compute-wer.sh:24-27)
+    wer_copysyn = wer_gen = None
+    if transcriber is not None:
+        wer_copysyn = harness.wer_pipeline(
+            "en", tools.output_dir, meta_lst, transcriber=transcriber,
+            gen_suffix="---copysyn.wav")
+        wer_gen = harness.wer_pipeline(
+            "en", tools.output_dir, meta_lst, transcriber=transcriber,
+            gen_suffix="---gen.wav")
+        print(f"      WER copysyn {wer_copysyn:.2f}% "
+              f"(gate < {args.wer_copysyn_gate}), "
+              f"gen {wer_gen:.2f}% (gate < {args.wer_gen_gate})")
+
     wer = None
     if args.asr_lang:
-        meta_lst = os.path.join(run_dir, "meta.lst")
-        with open(meta_lst, "w") as f:
-            for r in rows:
-                f.write(f"{r['id']}|{r['caption']}|{r['speech']}|"
-                        f"{r['caption']}\n")
         try:
             wer = harness.wer_pipeline(args.asr_lang, tools.output_dir,
                                        meta_lst)
@@ -485,6 +696,12 @@ def main(argv=None):
         "prompt_clone": bool(pos_sim > neg_sim),
         "end_detection": bool(end_acc >= args.end_acc),
     }
+    if wer_copysyn is not None:
+        gates["wer_copysyn"] = bool(wer_copysyn < args.wer_copysyn_gate)
+        gates["wer_gen"] = bool(wer_gen < args.wer_gen_gate)
+    if spk_margin_pos is not None:
+        gates["speaker_margin"] = bool(
+            spk_margin_pos - spk_margin_neg > args.spk_margin)
     result = {
         "config": args.config,
         "tiny": args.tiny,
@@ -497,13 +714,18 @@ def main(argv=None):
         "synthesis": {"n_gen": len(gen_wavs), "n_copysyn": len(copysyn_wavs),
                       "wall_s": syn_s, "rtf_incl_compile": rtf,
                       "output_dir": tools.output_dir},
-        "quality": {"latent_rel_mse": rel_mse, "speaker_sim": spk_sim,
+        "quality": {"codec_pretrain_snr_db": codec_snr,
+                    "speaker_margin_pos": spk_margin_pos,
+                    "speaker_margin_neg": spk_margin_neg,
+                    "latent_rel_mse": rel_mse, "speaker_sim": spk_sim,
                     "prompt_clone_sim": pos_sim,
                     "prompt_clone_neg_sim": neg_sim,
                     "prompt_clone_audio_sim": aud_pos,
                     "prompt_clone_audio_neg_sim": aud_neg,
                     "end_detection_acc": end_acc,
                     "end_detection_mae_frames": end_mae,
+                    "wer_copysyn": wer_copysyn,
+                    "wer_gen": wer_gen,
                     "wer": wer},
         "gates": gates,
         "ok": all(gates.values()),
