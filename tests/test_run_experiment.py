@@ -15,7 +15,7 @@ def test_full_experiment_chain(tmp_path):
     import run_experiment
 
     rc = run_experiment.main([
-        "configs/sigma_overfit.yaml", "--tiny", "--steps", "25",
+        "configs/sigma_overfit.yaml", "--tiny", "--steps", "120",
         "--rows", "2", "--seconds", "1.0",
         "--exp-dir", str(tmp_path),
         # the CTC WER arm costs ~8 min of single-core codec+ASR training;

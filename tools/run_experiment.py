@@ -491,19 +491,21 @@ def main(argv=None):
 
         _chan_rng = np.random.default_rng(4242)
 
-        def codec_channel(wav, noised=True):
+        def codec_channel(wav, noise_scale=1.0):
             # THE deployment channel: copysyn and sigma-head gen both decode
             # SAMPLED latents (mean + sigma*N — infer/pipeline.py
             # _latents_for_decode, ref model_sigmaVAE.py:133), so the ASR
-            # trains on noised-latent decodes. Pad to a coarse bucket:
+            # trains on noised-latent decodes; noise_scale > 1 draws teach
+            # robustness to the extra latent wobble of a sampled AR rollout
+            # (the gen arm feeds samples back in). Pad to a coarse bucket:
             # every unique input length is a fresh XLA compile
             n = len(wav)
             q = codec_cfg.hop * 100
             wav = np.pad(wav, (0, -n % q))
             lat = np.asarray(codec.encode_audio(jnp.asarray(wav[None])))
-            if noised:
-                lat = lat + codec_cfg.sigma * _chan_rng.standard_normal(
-                    lat.shape).astype(np.float32)
+            if noise_scale > 0:
+                lat = lat + noise_scale * codec_cfg.sigma * \
+                    _chan_rng.standard_normal(lat.shape).astype(np.float32)
             out = np.asarray(codec.decode_latents(jnp.asarray(lat)))[0, 0]
             return out[:n]
 
@@ -524,9 +526,12 @@ def main(argv=None):
             wav = wav[0].astype(np.float32)
             # several independent latent-noise draws: the scored copysyn/gen
             # wavs carry FRESH sampling noise, so robustness to the draw —
-            # not memorization of one draw — is what transfers
+            # not memorization of one draw — is what transfers; 1.5x/2x
+            # draws cover the gen arm's compounded rollout wobble
             pairs += [(r["caption"], wav)] + \
-                [(r["caption"], codec_channel(wav)) for _ in range(4)]
+                [(r["caption"], codec_channel(wav)) for _ in range(4)] + \
+                [(r["caption"], codec_channel(wav, 1.5)) for _ in range(2)] + \
+                [(r["caption"], codec_channel(wav, 2.0)) for _ in range(2)]
         ctc_params, ctc_curve = ctc_asr.train_ctc(
             ctc_cfg, ctc_texts, n_speakers=4, n_render=3, steps=ctc_steps,
             batch=16, lr=2e-3, seed=11, channel=codec_channel,
@@ -665,15 +670,32 @@ def main(argv=None):
 
     # self-contained WER: transcribe copysyn + gen wavs with the CTC ASR
     # and score through the real scorer (eval/wer.py) — the reference's
-    # acceptance metric made mechanical (ref tools/compute-wer.sh:24-27)
+    # acceptance metric made mechanical (ref tools/compute-wer.sh:24-27).
+    # Scored at the language's ATOMIC TOKEN level: each char of the
+    # tone-coded language is an independent acoustic unit (an ~80 ms
+    # formant pair), exactly like CJK chars in the reference's zh mode
+    # (compute-wer.py characterize) — word-atomic scoring would charge a
+    # whole random "word" for one slipped token
     wer_copysyn = wer_gen = None
     if transcriber is not None:
+        def chars(s):
+            return " ".join("_" if c == " " else c for c in s.strip())
+
+        meta_char = os.path.join(run_dir, "meta_chars.lst")
+        with open(meta_char, "w") as f:
+            for r in rows:
+                f.write(f"{r['id']}|{r['caption']}|{r['speech']}|"
+                        f"{chars(r['caption'])}\n")
+
+        def char_transcriber(path):
+            return chars(transcriber(path))
+
         wer_copysyn = harness.wer_pipeline(
-            "en", tools.output_dir, meta_lst, transcriber=transcriber,
-            gen_suffix="---copysyn.wav")
+            "en", tools.output_dir, meta_char,
+            transcriber=char_transcriber, gen_suffix="---copysyn.wav")
         wer_gen = harness.wer_pipeline(
-            "en", tools.output_dir, meta_lst, transcriber=transcriber,
-            gen_suffix="---gen.wav")
+            "en", tools.output_dir, meta_char,
+            transcriber=char_transcriber, gen_suffix="---gen.wav")
         print(f"      WER copysyn {wer_copysyn:.2f}% "
               f"(gate < {args.wer_copysyn_gate}), "
               f"gen {wer_gen:.2f}% (gate < {args.wer_gen_gate})")
