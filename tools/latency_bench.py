@@ -42,6 +42,14 @@ def main():
                          "p50/p95 TTFA + e2e under load")
     ap.add_argument("--serve-batch", type=int, default=8,
                     help="decode batch for the --poisson server")
+    ap.add_argument("--interleave", action="store_true",
+                    help="benchmark the text/audio streaming-interleave "
+                         "mode (infer/streaming.stream_generate: "
+                         "delay-frames warmup + speaker-VAE frame + "
+                         "KV-cached lockstep decode, ref infer_backup/"
+                         "infer_stream.py:146-207) instead of batch decode")
+    ap.add_argument("--delay-frames", type=int, default=3,
+                    help="interleave mode: audio stream delay in frames")
     args = ap.parse_args()
 
     if args.platform:
@@ -83,6 +91,65 @@ def main():
 
     rng = np.random.default_rng(0)
     frame_hz = codec.cfg.frame_rate
+
+    if args.interleave:
+        # BASELINE.md's TTFA row names THIS mode: the delay-frames
+        # text/audio interleave with a sampled speaker-VAE frame. TTFA =
+        # prefill + first chunk_frames lockstep steps + codec decode of the
+        # first chunk (same accounting as the batch-decode TTFA above it)
+        import dataclasses
+
+        from kalle_tpu.infer.streaming import (sample_speaker_cond,
+                                               stream_generate)
+        from kalle_tpu.models.lm import variants
+
+        cfg = dataclasses.replace(cfg, head_variant="stableaudio")
+        vparams = variants.init_variant_params(cfg, jax.random.key(0),
+                                               speaker_vae=True)
+        vparams = jax.tree.map(lambda x: x.astype(dt), vparams)
+        B = args.batch
+        t_text = 64  # fixed pad length (ref infer_stream.py:447)
+        ids = jnp.asarray(rng.integers(0, cfg.llama.vocab_size - 9,
+                                       (B, t_text)), jnp.int32)
+        # delay warmup: encode silence through the codec, take the means
+        n = int(round(args.delay_frames * codec.cfg.sample_rate / frame_hz))
+        warm = codec.encode_audio(jnp.zeros((B, n), jnp.float32))
+        warm = jnp.asarray(warm)[:, : args.delay_frames].astype(dt)
+        spk = jnp.tile(sample_speaker_cond(vparams, jax.random.key(1),
+                                           cfg.audio_proj_dim).astype(dt),
+                       (B, 1))
+
+        def chunk(key, steps):
+            res = stream_generate(vparams, cfg, ids, warm, spk, key,
+                                  max_steps=steps, end_kl_threshold=-1.0)
+            return np.asarray(codec.decode_latents(res.samples))
+
+        chunk(jax.random.key(1), args.chunk_frames)  # compile
+        chunk(jax.random.key(1), args.max_frames)
+        ttfas = []
+        for i in range(args.iters):
+            t0 = time.perf_counter()
+            chunk(jax.random.key(2 + i), args.chunk_frames)
+            ttfas.append(time.perf_counter() - t0)
+        n_full = max(args.iters // 2, 1)
+        t0 = time.perf_counter()
+        for i in range(n_full):
+            chunk(jax.random.key(100 + i), args.max_frames)
+        dt_full = (time.perf_counter() - t0) / n_full
+        rtf = dt_full / (B * args.max_frames / frame_hz)
+        print(json.dumps({
+            "metric": "interleave_p50_ttfa_s",
+            "value": round(sorted(ttfas)[len(ttfas) // 2], 4),
+            "p95": round(sorted(ttfas)[int(len(ttfas) * 0.95)], 4),
+            "unit": f"s (batch={B}, delay={args.delay_frames}fr, "
+                    f"{args.chunk_frames}fr = "
+                    f"{args.chunk_frames / frame_hz:.2f}s chunk)"}))
+        print(json.dumps({
+            "metric": "interleave_rtf_incl_codec",
+            "value": round(rtf, 6),
+            "unit": f"wall_s_per_audio_s (batch={B})",
+            "vs_baseline": round(0.1 / rtf, 2)}))
+        return
 
     if args.poisson:
         from kalle_tpu.infer.serve_loop import ContinuousBatcher
